@@ -1,0 +1,199 @@
+"""Host-side audio file I/O: dependency-free RIFF/WAVE + ffmpeg fallback.
+
+The reference decodes via pydub→ffmpeg subprocess (engine:43) and hardcodes
+int16 on the way out regardless of the source width (engine:125 — a bug we
+do not replicate; we honour the requested width).  Here the host decodes to
+``float32 [-1, 1]`` ndarrays — the only currency the TPU pipeline speaks.
+
+* WAV (PCM 8/16/24/32-bit and IEEE float32/64): native numpy reader/writer,
+  no third-party deps (mirrored by the C++ fast path in ``io.native``).
+* anything else (mp3/flac/aiff/…): delegated to an ``ffmpeg`` binary if one
+  is on PATH (the reference's own native codec boundary), else a clear error.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import shutil
+import struct
+import subprocess
+
+import numpy as np
+
+__all__ = ["read_wav", "write_wav", "pcm_to_float", "float_to_pcm",
+           "read_audio", "write_audio"]
+
+WAVE_FORMAT_PCM = 0x0001
+WAVE_FORMAT_IEEE_FLOAT = 0x0003
+WAVE_FORMAT_EXTENSIBLE = 0xFFFE
+
+
+def pcm_to_float(data: np.ndarray, sample_width: int) -> np.ndarray:
+    """Integer PCM → float32 in [-1, 1): ``x / 2**(8*width-1)``.
+
+    Matches the reference's scaling (engine:117-121).
+    """
+    return data.astype(np.float32) / float(2 ** (8 * sample_width - 1))
+
+
+def float_to_pcm(data: np.ndarray, sample_width: int) -> np.ndarray:
+    """float [-1, 1] → integer PCM with clipping (engine:123-126 semantics,
+    but honouring ``sample_width`` instead of hardcoding int16)."""
+    scale = float(2 ** (8 * sample_width - 1))
+    clipped = np.clip(np.asarray(data), -1.0, 1.0)
+    ints = (clipped * scale).astype(np.int64)
+    ints = np.clip(ints, -int(scale), int(scale) - 1)
+    dtype = {1: np.int8, 2: np.int16, 3: np.int32, 4: np.int32}[sample_width]
+    return ints.astype(dtype)
+
+
+def _unpack_pcm24(raw: bytes) -> np.ndarray:
+    b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3)
+    out = (b[:, 0].astype(np.int32)
+           | (b[:, 1].astype(np.int32) << 8)
+           | (b[:, 2].astype(np.int32) << 16))
+    return np.where(out >= 1 << 23, out - (1 << 24), out)
+
+
+def _pack_pcm24(ints: np.ndarray) -> bytes:
+    u = np.where(ints < 0, ints + (1 << 24), ints).astype(np.uint32)
+    b = np.empty((u.size, 3), dtype=np.uint8)
+    b[:, 0] = u & 0xFF
+    b[:, 1] = (u >> 8) & 0xFF
+    b[:, 2] = (u >> 16) & 0xFF
+    return b.tobytes()
+
+
+def read_wav(path_or_bytes):
+    """Read a RIFF/WAVE file → ``(audio float32 (N, C), sample_rate)``."""
+    if isinstance(path_or_bytes, (str, os.PathLike)):
+        with open(path_or_bytes, "rb") as f:
+            buf = f.read()
+    elif isinstance(path_or_bytes, (bytes, bytearray)):
+        buf = bytes(path_or_bytes)
+    else:
+        buf = path_or_bytes.read()
+
+    if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, end = 12, len(buf)
+    fmt = None
+    data = None
+    while pos + 8 <= end:
+        cid, size = buf[pos:pos + 4], struct.unpack("<I", buf[pos + 4:pos + 8])[0]
+        body = buf[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            tag, ch, rate, _, _, bits = struct.unpack("<HHIIHH", body[:16])
+            if tag == WAVE_FORMAT_EXTENSIBLE and size >= 40:
+                tag = struct.unpack("<H", body[24:26])[0]
+            fmt = (tag, ch, rate, bits)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    tag, ch, rate, bits = fmt
+
+    if tag == WAVE_FORMAT_IEEE_FLOAT:
+        dt = np.float32 if bits == 32 else np.float64
+        x = np.frombuffer(data, dtype="<" + np.dtype(dt).char).astype(np.float32)
+    elif tag == WAVE_FORMAT_PCM:
+        if bits == 8:
+            x = (np.frombuffer(data, dtype=np.uint8).astype(np.int16) - 128)
+            x = pcm_to_float(x, 1)
+        elif bits == 16:
+            x = pcm_to_float(np.frombuffer(data, dtype="<i2"), 2)
+        elif bits == 24:
+            x = pcm_to_float(_unpack_pcm24(data), 3)
+        elif bits == 32:
+            x = pcm_to_float(np.frombuffer(data, dtype="<i4"), 4)
+        else:
+            raise ValueError(f"unsupported PCM bit depth {bits}")
+    else:
+        raise ValueError(f"unsupported WAVE format tag {tag:#x}")
+
+    n = (x.size // ch) * ch
+    return x[:n].reshape(-1, ch), rate
+
+
+def write_wav(path_or_file, audio, sample_rate, sample_width=2, float_format=False):
+    """Write ``(N, C)`` (or ``(N,)``) float audio as WAV."""
+    audio = np.asarray(audio, dtype=np.float32)
+    if audio.ndim == 1:
+        audio = audio[:, None]
+    ch = audio.shape[1]
+    inter = np.ascontiguousarray(audio).reshape(-1)
+
+    if float_format:
+        tag, bits = WAVE_FORMAT_IEEE_FLOAT, 32
+        payload = inter.astype("<f4").tobytes()
+    else:
+        tag, bits = WAVE_FORMAT_PCM, 8 * sample_width
+        ints = float_to_pcm(inter, sample_width)
+        if sample_width == 3:
+            payload = _pack_pcm24(ints)
+        elif sample_width == 1:
+            payload = (ints.astype(np.int16) + 128).astype(np.uint8).tobytes()
+        else:
+            payload = ints.astype("<i%d" % sample_width).tobytes()
+
+    block = ch * (bits // 8)
+    hdr = io.BytesIO()
+    hdr.write(b"RIFF")
+    hdr.write(struct.pack("<I", 36 + len(payload)))
+    hdr.write(b"WAVEfmt ")
+    hdr.write(struct.pack("<IHHIIHH", 16, tag, ch, sample_rate,
+                          sample_rate * block, block, bits))
+    hdr.write(b"data")
+    hdr.write(struct.pack("<I", len(payload)))
+    blob = hdr.getvalue() + payload
+
+    if isinstance(path_or_file, (str, os.PathLike)):
+        with open(path_or_file, "wb") as f:
+            f.write(blob)
+    else:
+        path_or_file.write(blob)
+
+
+_WAV_EXTS = {".wav", ".wave"}
+
+
+def _ffmpeg():
+    return shutil.which("ffmpeg")
+
+
+def read_audio(path):
+    """Decode any audio file → ``(float32 (N, C), rate)``.
+
+    WAV natively; other containers via ffmpeg (the reference's own codec
+    substrate, Dockerfile:5) when available.
+    """
+    ext = os.path.splitext(str(path))[1].lower()
+    if ext in _WAV_EXTS:
+        return read_wav(path)
+    ff = _ffmpeg()
+    if not ff:
+        raise RuntimeError(
+            f"cannot decode {ext!r} without ffmpeg on PATH (WAV is native)")
+    out = subprocess.run(
+        [ff, "-v", "error", "-i", str(path), "-f", "wav", "-acodec",
+         "pcm_f32le", "-"],
+        check=True, capture_output=True).stdout
+    return read_wav(out)
+
+
+def write_audio(path, audio, sample_rate, sample_width=2):
+    """Encode to ``path`` by extension; WAV natively, else via ffmpeg."""
+    ext = os.path.splitext(str(path))[1].lower()
+    if ext in _WAV_EXTS or ext == "":
+        write_wav(path, audio, sample_rate, sample_width=sample_width)
+        return
+    ff = _ffmpeg()
+    if not ff:
+        raise RuntimeError(
+            f"cannot encode {ext!r} without ffmpeg on PATH (WAV is native)")
+    buf = io.BytesIO()
+    write_wav(buf, audio, sample_rate, float_format=True)
+    subprocess.run([ff, "-v", "error", "-y", "-f", "wav", "-i", "-", str(path)],
+                   input=buf.getvalue(), check=True, capture_output=True)

@@ -1,0 +1,197 @@
+"""The mastering chain: one fused, differentiable, jit-compiled graph.
+
+Reference pipeline (worker/audio_mastering_engine.py:53-89):
+saturation → 4-band EQ → stereo width → [3-band multiband compressor] →
+LUFS normalize → soft limiter.
+
+Differences by design (each one documented in DESIGN.md):
+* The whole chain is one ``jit`` graph over the full ``(N, C)`` array — no
+  30 s chunk objects, no int16 round-trips between stages.  Chunked
+  execution for long files lives in ``parallel.streaming`` and carries
+  filter/ballistics state across chunk boundaries (the reference resets
+  state every chunk — a defect, SURVEY.md §5).
+* The four EQ biquads are concatenated into a single 8-state cascade and
+  executed in ONE blocked-IIR pass (two MXU matmuls) instead of four
+  sequential scipy calls per channel (engine:154-161).
+* All parameters are traced — moving a slider never recompiles.  The two
+  structural switches (multiband on/off, lufs on/off) are static and select
+  one of four compiled variants, mirroring the reference's Python branches.
+
+Both reference engine variants are provided: ``variant="worker"`` (the
+canonical cloud engine) and ``variant="legacy"`` (main.py:94-192, which has
+a different saturation, EQ topology, mid-band split and limiter — and
+returns mono EQ input unprocessed, main.py:130-131).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from python_audio_mastering_tpu.config import ChainConfig, MasteringParams
+from python_audio_mastering_tpu.ops import iir, multiband
+from python_audio_mastering_tpu.ops.biquad import (
+    butter_sos,
+    reference_peak_sos,
+    reference_shelf_sos,
+)
+from python_audio_mastering_tpu.ops.loudness import normalize_to_lufs
+from python_audio_mastering_tpu.ops.stereo import stereo_width
+from python_audio_mastering_tpu.ops.waveshaper import (
+    saturate,
+    saturate_legacy,
+    soft_limiter,
+    soft_limiter_legacy,
+)
+
+__all__ = ["master", "make_master_fn", "MasterResult", "eq_sos", "apply_eq"]
+
+
+@dataclasses.dataclass
+class MasterResult:
+    """Chain output + the quantitative observability the reference logs."""
+
+    audio: Any
+    measured_lufs: Any   # loudness before normalization (engine:221)
+    applied_gain_db: Any
+
+jax.tree_util.register_dataclass(
+    MasterResult, data_fields=["audio", "measured_lufs", "applied_gain_db"],
+    meta_fields=[])
+
+
+def eq_sos(params: MasteringParams, sample_rate: int):
+    """The worker EQ as one 4-section cascade (engine:146-168).
+
+    low shelf @250 (bass), peak @1k (−mid_cut), peak @4k (presence),
+    high shelf @8k (treble) — reference formulas incl. its doubled-w0 quirk.
+    Gains are traced; 0 dB sections are algebraically identity.
+    """
+    return jnp.concatenate([
+        reference_shelf_sos(sample_rate, 250.0, params.bass_boost, "low"),
+        reference_peak_sos(sample_rate, 1000.0, -jnp.asarray(params.mid_cut)),
+        reference_peak_sos(sample_rate, 4000.0, params.presence_boost),
+        reference_shelf_sos(sample_rate, 8000.0, params.treble_boost, "high"),
+    ], axis=0)
+
+
+def apply_eq(x, params, config, zi=None):
+    """Worker-variant EQ: one fused cascade pass. Returns (y, zf)."""
+    sos = eq_sos(params, config.sample_rate).astype(x.dtype)
+    return iir.sosfilt(sos, x, zi=zi, method=config.filter_method,
+                       block_size=config.block_size)
+
+
+def _apply_eq_legacy(x, params, config):
+    """Legacy EQ (main.py:118-154): parallel-blend Butterworth filters.
+
+    Mono input is returned unprocessed (main.py:130-131).  Shelves are an
+    order-5 Butterworth band split blended by gain; the 'peak' is an
+    order-2 bandpass parallel add.  All crossover designs are static.
+    """
+    if x.ndim == 1 or x.shape[1] != 2:
+        return x
+    fs = config.sample_rate
+    run = functools.partial(iir.sosfilt, method=config.filter_method,
+                            block_size=config.block_size)
+
+    def shelf(sig, fc, gain_db, btype):
+        sos = jnp.asarray(butter_sos(5, fc / (0.5 * fs), btype), sig.dtype)
+        filtered, _ = run(sos, sig)
+        g = 10.0 ** (jnp.asarray(gain_db, sig.dtype) / 20.0)
+        boosted = sig + filtered * (g - 1.0)
+        cut = sig * g + filtered * (1.0 - g)
+        return jnp.where(jnp.asarray(gain_db) > 0, boosted, cut)
+
+    def peak(sig, fc, gain_db, q=1.0):
+        import numpy as np
+        normal = fc / (0.5 * fs)
+        e1, e2 = normal / np.sqrt(q), normal * np.sqrt(q)
+        lo, hi = min(e1, e2), max(e1, e2)
+        hi = min(hi, 0.999999)
+        sos = jnp.asarray(butter_sos(2, [lo, hi], "bandpass"), sig.dtype)
+        filtered, _ = run(sos, sig)
+        g = 10.0 ** (jnp.asarray(gain_db, sig.dtype) / 20.0)
+        return sig + filtered * (g - 1.0)
+
+    x = shelf(x, 250.0, params.bass_boost, "lowpass")
+    x = peak(x, 1000.0, -jnp.asarray(params.mid_cut))
+    x = peak(x, 4000.0, params.presence_boost)
+    x = shelf(x, 8000.0, params.treble_boost, "highpass")
+    return x
+
+
+def master(audio, params: MasteringParams, config: ChainConfig,
+           return_result: bool = False):
+    """Run the full mastering chain on ``(N, C)`` or ``(N,)`` float audio.
+
+    Pure function of (audio, params) — safe to ``jit``, ``vmap`` (albums),
+    ``grad`` (automastering) and shard.  Use :func:`make_master_fn` for a
+    pre-jitted closure over the static config.
+    """
+    x = jnp.asarray(audio, dtype=config.jnp_dtype())
+
+    if config.variant == "worker":
+        x = saturate(x, params.saturation)
+        x, _ = apply_eq(x, params, config)
+        x = stereo_width(x, params.width)
+        if params.multiband:
+            x = multiband.multiband_compress(
+                x, config.sample_rate,
+                thresholds_db=(params.low_thresh, params.mid_thresh, params.high_thresh),
+                ratios=(params.low_ratio, params.mid_ratio, params.high_ratio),
+                variant="worker", filter_method=config.filter_method,
+                hop=config.comp_hop, block_ctrl=config.comp_block_ctrl,
+                overlap_ctrl=config.comp_overlap_ctrl)
+        limiter = soft_limiter
+    elif config.variant == "legacy":
+        x = saturate_legacy(x, params.saturation)
+        x = _apply_eq_legacy(x, params, config)
+        x = stereo_width(x, params.width)
+        if params.multiband:
+            x = multiband.multiband_compress(
+                x, config.sample_rate,
+                thresholds_db=(params.low_thresh, params.mid_thresh, params.high_thresh),
+                ratios=(params.low_ratio, params.mid_ratio, params.high_ratio),
+                variant="legacy", filter_method=config.filter_method,
+                hop=config.comp_hop, block_ctrl=config.comp_block_ctrl,
+                overlap_ctrl=config.comp_overlap_ctrl)
+        limiter = functools.partial(soft_limiter_legacy,
+                                    threshold=config.limiter_threshold)
+    else:
+        raise ValueError(f"unknown variant {config.variant!r}")
+
+    if params.lufs_enabled:
+        x, measured, gain = normalize_to_lufs(
+            x, config.sample_rate, params.lufs, downmix=config.measure_downmix,
+            filter_method=config.filter_method)
+        gain_db = 20.0 * jnp.log10(gain)
+    else:
+        measured = jnp.asarray(jnp.nan, x.dtype)
+        gain_db = jnp.zeros((), x.dtype)
+
+    if config.variant == "worker":
+        x = limiter(x, threshold=config.limiter_threshold)
+    else:
+        x = limiter(x)
+
+    if return_result:
+        return MasterResult(audio=x, measured_lufs=measured, applied_gain_db=gain_db)
+    return x
+
+
+def make_master_fn(config: ChainConfig, return_result: bool = True):
+    """jit-compiled ``fn(audio, params) -> MasterResult`` for a fixed config.
+
+    Compiles once per (audio shape, multiband/lufs switches); slider values
+    are traced arguments.
+    """
+    @functools.partial(jax.jit, static_argnames=())
+    def fn(audio, params):
+        return master(audio, params, config, return_result=return_result)
+
+    return fn

@@ -1,0 +1,129 @@
+"""3-band multiband compressor (reference engine:196-210, main.py:156-176).
+
+Crossovers at 250 Hz / 4 kHz via 4th-order Butterworth filters (static
+coefficients, designed host-side in float64).  Two split topologies from the
+reference's divergent engine copies:
+
+* ``"worker"`` (canonical): ``low = LP4(x)``, ``high = HP4(x)``,
+  ``mid = x - low - high`` — the subtraction split (engine:200-202).  Not
+  phase-coherent, but it is the reference's sound; bands sum back to the
+  input minus compressor action.
+* ``"legacy"``: ``mid = LP4@4k( HP4@250(x) )`` cascade (main.py:165-168).
+
+Per-band compression uses the pydub-contract compressor with the reference's
+fixed ballistics: low 10/200 ms, mid 5/150 ms, high 1/50 ms attack/release
+(engine:207-209).  Band recombination is a float sum (the reference
+overlays int16 segments — saturating adds — which we deliberately do not
+replicate; the chain's limiter handles overs).
+
+The three band detectors run fully in parallel; the three ballistics
+recurrences are fused into a *single* scan with a (3,)-vector carry.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax.numpy as jnp
+import numpy as np
+
+from python_audio_mastering_tpu.ops import compressor as comp
+from python_audio_mastering_tpu.ops import iir
+from python_audio_mastering_tpu.ops.biquad import butter_sos
+
+__all__ = ["crossover_split", "multiband_compress", "BAND_BALLISTICS_MS"]
+
+# (attack_ms, release_ms) per band, fixed in the reference (engine:207-209).
+BAND_BALLISTICS_MS = ((10.0, 200.0), (5.0, 150.0), (1.0, 50.0))
+
+
+@functools.lru_cache(maxsize=None)
+def _crossover_sos(sample_rate, low_crossover, high_crossover):
+    lp = butter_sos(4, low_crossover, "lowpass", fs=sample_rate)
+    hp = butter_sos(4, high_crossover, "highpass", fs=sample_rate)
+    return np.asarray(lp), np.asarray(hp)
+
+
+def crossover_split(x, sample_rate, variant="worker", low_crossover=250.0,
+                    high_crossover=4000.0, filter_method="auto", zi=None):
+    """Split ``(N, C)`` audio into (low, mid, high), stacked as ``(3, N, C)``.
+
+    ``zi``: optional carried crossover filter state (pytree of per-filter
+    states) for chunked streaming.  Returns ``(bands, zf)``.
+    """
+    lp_sos, hp_sos = _crossover_sos(sample_rate, low_crossover, high_crossover)
+    lp_sos = jnp.asarray(lp_sos, x.dtype)
+    hp_sos = jnp.asarray(hp_sos, x.dtype)
+    zi = zi or {}
+    run = functools.partial(iir.sosfilt, method=filter_method)
+
+    if variant == "worker":
+        low, z_lp = run(lp_sos, x, zi.get("lp"))
+        high, z_hp = run(hp_sos, x, zi.get("hp"))
+        mid = x - low - high
+        zf = {"lp": z_lp, "hp": z_hp}
+    elif variant == "legacy":
+        low, z_lp = run(lp_sos, x, zi.get("lp"))
+        high, z_hp = run(hp_sos, x, zi.get("hp"))
+        hp_low = jnp.asarray(
+            butter_sos(4, low_crossover, "highpass", fs=sample_rate), x.dtype)
+        lp_high = jnp.asarray(
+            butter_sos(4, high_crossover, "lowpass", fs=sample_rate), x.dtype)
+        mid1, z_m1 = run(hp_low, x, zi.get("mid_hp"))
+        mid, z_m2 = run(lp_high, mid1, zi.get("mid_lp"))
+        zf = {"lp": z_lp, "hp": z_hp, "mid_hp": z_m1, "mid_lp": z_m2}
+    else:
+        raise ValueError(f"unknown crossover variant {variant!r}")
+    return jnp.stack([low, mid, high]), zf
+
+
+def multiband_compress(x, sample_rate, thresholds_db, ratios, variant="worker",
+                       low_crossover=250.0, high_crossover=4000.0,
+                       filter_method="auto", hop=1, block_ctrl=None,
+                       overlap_ctrl=None, zi=None, att0=None,
+                       return_state=False):
+    """Full 3-band compressor.
+
+    Args:
+      thresholds_db / ratios: length-3 (low, mid, high), traced OK.
+      hop / block_ctrl / overlap_ctrl: ballistics execution knobs (see
+        ``ops.compressor``); hop=1 + block_ctrl=None is the exact contract.
+      zi / att0: carried crossover + ballistics state for streaming.
+
+    Returns ``y`` ``(N, C)``, or ``(y, state)`` if ``return_state``.
+    """
+    squeeze = x.ndim == 1
+    if squeeze:
+        x = x[:, None]
+    bands, zf = crossover_split(x, sample_rate, variant=variant,
+                                low_crossover=low_crossover,
+                                high_crossover=high_crossover,
+                                filter_method=filter_method, zi=zi)
+
+    # Detectors: per band (different lookback windows), fully parallel.
+    stats = [
+        comp.detector_stats(bands[i], sample_rate, thresholds_db[i], ratios[i],
+                            BAND_BALLISTICS_MS[i][0], BAND_BALLISTICS_MS[i][1],
+                            hop=hop)
+        for i in range(3)
+    ]
+    stacked = {k: jnp.stack([s[k] for s in stats], axis=-1) for k in stats[0]}
+
+    # Ballistics: ONE scan, (3,)-vector carry.
+    if block_ctrl is None:
+        att, att_f = comp.attenuation_scan(stacked, att0)
+    else:
+        if overlap_ctrl is None:
+            overlap_ctrl = comp._default_overlap(sample_rate, 200.0, hop)
+        att, att_f = comp.attenuation_blocked(stacked, block_ctrl, overlap_ctrl, att0)
+
+    n = x.shape[0]
+    if hop > 1:
+        att = jnp.repeat(att, hop, axis=0)[:n]
+    gains = 10.0 ** (-att / 20.0)  # (N, 3)
+    y = jnp.einsum("bnc,nb->nc", bands, gains)
+    if squeeze:
+        y = y[:, 0]
+    if return_state:
+        return y, {"crossover": zf, "att": att_f}
+    return y
