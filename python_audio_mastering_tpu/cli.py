@@ -1,0 +1,180 @@
+"""Command-line interface.
+
+    python -m python_audio_mastering_tpu.cli master in.wav out.wav \
+        --preset techno --saturation 20 --width 1.3 --lufs -14 --multiband
+    python -m python_audio_mastering_tpu.cli batch in_dir/ out_dir/ --preset pop
+    python -m python_audio_mastering_tpu.cli measure track.wav
+    python -m python_audio_mastering_tpu.cli serve --port 8080
+    python -m python_audio_mastering_tpu.cli automaster in.wav out.wav --reference ref.wav
+
+The ``master``/``batch`` verbs mirror the desktop GUI's two tabs
+(mastering_gui.py:59-83); ``serve`` runs the full local job stack
+(backend API + worker) in one process.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _add_settings_args(p):
+    p.add_argument("--preset", choices=["techno", "dubstep", "pop", "rock"],
+                   help="EQ genre preset")
+    p.add_argument("--saturation", type=float, default=0.0, help="0..100 %%")
+    p.add_argument("--bass-boost", type=float, default=None, help="-6..6 dB")
+    p.add_argument("--mid-cut", type=float, default=None, help="0..6 dB")
+    p.add_argument("--presence-boost", type=float, default=None, help="-6..6 dB")
+    p.add_argument("--treble-boost", type=float, default=None, help="-6..6 dB")
+    p.add_argument("--width", type=float, default=1.0, help="stereo width 0..2")
+    p.add_argument("--lufs", type=float, default=-14.0,
+                   help="target integrated loudness (use --no-lufs to skip)")
+    p.add_argument("--no-lufs", action="store_true")
+    p.add_argument("--multiband", action="store_true",
+                   help="enable the 3-band compressor")
+    for band in ("low", "mid", "high"):
+        p.add_argument(f"--{band}-thresh", type=float, default=None)
+        p.add_argument(f"--{band}-ratio", type=float, default=None)
+    p.add_argument("--variant", choices=["worker", "legacy"], default="worker")
+    p.add_argument("--exact", action="store_true",
+                   help="bit-exact contract mode (slower; default is the "
+                        "fast TPU execution config)")
+
+
+def _settings_from_args(args) -> dict:
+    s = {"saturation": args.saturation, "width": args.width,
+         "lufs": None if args.no_lufs else args.lufs,
+         "multiband": args.multiband}
+    if args.preset:
+        s["preset"] = args.preset
+    for k in ("bass_boost", "mid_cut", "presence_boost", "treble_boost",
+              "low_thresh", "low_ratio", "mid_thresh", "mid_ratio",
+              "high_thresh", "high_ratio"):
+        v = getattr(args, k)
+        if v is not None:
+            s[k] = v
+    return s
+
+
+def _config_from_args(args, sample_rate):
+    from python_audio_mastering_tpu.config import ChainConfig
+
+    if args.exact:
+        return ChainConfig(sample_rate=sample_rate, variant=args.variant)
+    cfg = ChainConfig.tpu_default(sample_rate=sample_rate)
+    import dataclasses
+
+    return dataclasses.replace(cfg, variant=args.variant)
+
+
+def cmd_master(args):
+    from python_audio_mastering_tpu import engine
+    from python_audio_mastering_tpu.io import wavio
+
+    _, fs = wavio.read_audio(args.input)
+    settings = _settings_from_args(args)
+    settings["input_file"] = args.input
+    settings["output_file"] = args.output
+    ok = engine.process_audio(settings, status_callback=print,
+                              config=_config_from_args(args, fs))
+    return 0 if ok else 1
+
+
+def cmd_batch(args):
+    from python_audio_mastering_tpu import engine
+
+    n = engine.batch_process_audio(_settings_from_args(args), args.input_dir,
+                                   args.output_dir, status_callback=print)
+    return 0 if n > 0 else 1
+
+
+def cmd_measure(args):
+    from python_audio_mastering_tpu.io import wavio
+    from python_audio_mastering_tpu.ops import loudness
+
+    audio, fs = wavio.read_audio(args.input)
+    lufs = float(loudness.integrated_loudness(audio, fs))
+    mono = float(loudness.integrated_loudness(audio, fs,
+                                              downmix="reference_mono_mean"))
+    peak = float(abs(audio).max())
+    print(f"{args.input}: {lufs:.2f} LUFS (BS.1770 stereo), "
+          f"{mono:.2f} LUFS (mono-mean), peak {peak:.4f}")
+    return 0
+
+
+def cmd_serve(args):
+    import os
+
+    os.environ.setdefault("PORT", str(args.port))
+    if args.blob_root:
+        os.environ["PAM_BLOB_ROOT"] = args.blob_root
+    from python_audio_mastering_tpu.serving.backend import main as serve_main
+
+    serve_main()
+    return 0
+
+
+def cmd_automaster(args):
+    import numpy as np
+
+    from python_audio_mastering_tpu import master
+    from python_audio_mastering_tpu.io import wavio
+    from python_audio_mastering_tpu.models import automaster
+
+    audio, fs = wavio.read_audio(args.input)
+    ref, ref_fs = wavio.read_audio(args.reference)
+    cfg = _config_from_args(args, fs)
+    model = automaster.AutoMasterModel(config=cfg, target_lufs=args.lufs)
+    target = automaster.spectral_profile(ref, ref_fs)
+    params, losses = automaster.fit(
+        model, audio.astype(np.float32), target, steps=args.steps,
+        callback=lambda i, l: print(f"step {i}: loss {l:.5f}"))
+    print("fitted settings:", {k: round(v, 2) if isinstance(v, float) else v
+                               for k, v in params.to_settings().items()})
+    out = np.asarray(master(audio.astype(np.float32), params, cfg))
+    wavio.write_audio(args.output, out, fs)
+    print(f"Processing complete! Saved to {args.output}")
+    return 0
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="python_audio_mastering_tpu",
+                                 description="TPU-native audio mastering")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("master", help="master a single file")
+    p.add_argument("input")
+    p.add_argument("output")
+    _add_settings_args(p)
+    p.set_defaults(fn=cmd_master)
+
+    p = sub.add_parser("batch", help="master every audio file in a folder")
+    p.add_argument("input_dir")
+    p.add_argument("output_dir")
+    _add_settings_args(p)
+    p.set_defaults(fn=cmd_batch)
+
+    p = sub.add_parser("measure", help="measure integrated loudness")
+    p.add_argument("input")
+    p.set_defaults(fn=cmd_measure)
+
+    p = sub.add_parser("serve", help="run the local job API + worker")
+    p.add_argument("--port", type=int, default=8080)
+    p.add_argument("--blob-root", default=None)
+    p.set_defaults(fn=cmd_serve)
+
+    p = sub.add_parser("automaster",
+                       help="fit mastering params to a reference track")
+    p.add_argument("input")
+    p.add_argument("output")
+    p.add_argument("--reference", required=True)
+    p.add_argument("--steps", type=int, default=40)
+    _add_settings_args(p)
+    p.set_defaults(fn=cmd_automaster)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

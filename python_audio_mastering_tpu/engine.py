@@ -1,0 +1,151 @@
+"""Reference-parity engine entry points.
+
+The reference exposes three engine surfaces (SURVEY.md §1):
+
+* ``process_audio_from_gcs(gcs_uri, settings)`` — the cloud worker engine
+  (worker/audio_mastering_engine.py:24-113): download → chunked chain →
+  LUFS → limit → upload WAV + ``.complete`` flag.  Here generalized to any
+  ``BlobStore`` (``local://`` or ``gs://`` URIs) with the exact output-key
+  contract ``processed/mastered_{basename}`` (engine:92) and flag blob
+  (engine:105-108).
+* ``process_audio(settings, callback)`` — the desktop single-file engine
+  the GUI imports (mastering_gui.py:204; the file is missing from the
+  reference repo — the contract is reconstructed from its call sites):
+  reads ``settings["input_file"]``, writes ``settings["output_file"]``,
+  reports progress through ``callback(msg)`` and finishes with a message
+  containing "complete"/"error" (string-matched at mastering_gui.py:226).
+* ``batch_process_audio(settings, input_dir, output_dir, callback)`` —
+  folder loop (mastering_gui.py:220), "no audio files" message for empty
+  folders (mastering_gui.py:226).
+
+All three run the same TPU pipeline: streamed chunked execution with
+carried state for long files, one fused jit graph per (settings-switch,
+chunk-shape) pair.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import traceback
+
+import numpy as np
+
+from python_audio_mastering_tpu.config import ChainConfig, MasteringParams
+from python_audio_mastering_tpu.io import wavio
+from python_audio_mastering_tpu.models.presets import EQ_PRESETS  # noqa: F401  (GUI re-export contract, mastering_gui.py:19)
+from python_audio_mastering_tpu.parallel.streaming import master_streamed
+from python_audio_mastering_tpu.serving import store as store_mod
+
+__all__ = ["EQ_PRESETS", "default_config", "process_audio",
+           "batch_process_audio", "process_audio_from_gcs",
+           "process_audio_from_uri", "AUDIO_EXTENSIONS"]
+
+AUDIO_EXTENSIONS = (".wav", ".mp3", ".flac", ".aiff")  # mastering_gui.py:137
+
+
+def default_config(sample_rate: int) -> ChainConfig:
+    """Throughput defaults: blocked IIR + decimated block-parallel
+    ballistics (the fast mode; ``ChainConfig()`` for exact-contract runs)."""
+    return ChainConfig.tpu_default(sample_rate=sample_rate)
+
+
+def _run_chain(audio: np.ndarray, sample_rate: int, settings: dict,
+               progress_cb=None, config: ChainConfig | None = None):
+    params = MasteringParams.from_settings(settings)
+    cfg = config or default_config(sample_rate)
+    out, measured, gain_db = master_streamed(audio, params, cfg,
+                                             progress_cb=progress_cb)
+    if params.lufs_enabled and progress_cb:
+        progress_cb(f"Current loudness: {measured:.2f} LUFS. "
+                    f"Applying {gain_db:.2f} dB gain...")
+    return out
+
+
+def process_audio(settings: dict, status_callback=None,
+                  config: ChainConfig | None = None) -> bool:
+    """Desktop single-file engine (GUI contract).  Returns success."""
+    cb = status_callback or (lambda msg: None)
+    try:
+        in_path = settings.get("input_file")
+        out_path = settings.get("output_file")
+        if not in_path or not out_path:
+            cb("ERROR: input_file and output_file must be set.")
+            return False
+        cb(f"Loading {os.path.basename(in_path)}...")
+        audio, fs = wavio.read_audio(in_path)
+        cb("Processing audio in chunks...")
+        out = _run_chain(audio, fs, settings, progress_cb=cb, config=config)
+        cb("Exporting...")
+        wavio.write_audio(out_path, out, fs)
+        cb(f"Processing complete! Saved to {out_path}")
+        return True
+    except Exception as e:  # noqa: BLE001 — engine boundary (engine:110-113)
+        traceback.print_exc()
+        cb(f"ERROR: {e}")
+        return False
+
+
+def batch_process_audio(settings: dict, input_folder: str, output_folder: str,
+                        status_callback=None,
+                        config: ChainConfig | None = None) -> int:
+    """Folder batch engine (GUI contract).  Returns #files processed."""
+    cb = status_callback or (lambda msg: None)
+    try:
+        files = sorted(
+            f for f in os.listdir(input_folder)
+            if os.path.splitext(f)[1].lower() in AUDIO_EXTENSIONS)
+    except OSError as e:
+        cb(f"ERROR: cannot read input folder: {e}")
+        return 0
+    if not files:
+        cb("No audio files found in the input folder.")
+        return 0
+    os.makedirs(output_folder, exist_ok=True)
+    done = 0
+    for i, name in enumerate(files):
+        cb(f"[{i + 1}/{len(files)}] {name}")
+        base, ext = os.path.splitext(name)
+        per_file = dict(settings)
+        per_file["input_file"] = os.path.join(input_folder, name)
+        per_file["output_file"] = os.path.join(output_folder,
+                                               f"{base}_mastered{ext}")
+        ok = process_audio(per_file, status_callback=lambda m: cb(f"  {m}"),
+                           config=config)
+        done += int(ok)
+    cb(f"Batch processing complete! {done}/{len(files)} files mastered.")
+    return done
+
+
+def process_audio_from_uri(uri: str, settings: dict,
+                           store: store_mod.BlobStore | None = None,
+                           config: ChainConfig | None = None,
+                           progress_cb=None) -> str:
+    """Cloud worker engine: any ``scheme://bucket/key`` URI.
+
+    Returns the output key.  Raises on failure (the worker layer owns the
+    job-state policy — unlike the reference, failures are not silently
+    swallowed, worker/main.py:46-50).
+    """
+    scheme, bucket, key = store_mod.parse_uri(uri)
+    store = store or store_mod.get_store(f"{scheme}://{bucket}")
+    print(f"Downloading file from {uri}...")
+    blob = store.download(key)
+    audio, fs = wavio.read_wav(blob)
+    print("Processing audio in chunks...")
+    out = _run_chain(audio, fs, settings,
+                     progress_cb=progress_cb or (lambda m: print(m)),
+                     config=config)
+    output_key = f"processed/mastered_{os.path.basename(key)}"
+    print(f"Exporting and uploading processed audio to {output_key}...")
+    buf = io.BytesIO()
+    wavio.write_wav(buf, out, fs)
+    store.upload(output_key, buf.getvalue(), content_type="audio/wav")
+    store.upload(f"{output_key}.complete", b"")
+    print(f"Completion flag created at {output_key}.complete")
+    return output_key
+
+
+def process_audio_from_gcs(gcs_uri: str, settings: dict, **kwargs) -> str:
+    """Exact reference name (worker/main.py:11); works for local:// too."""
+    return process_audio_from_uri(gcs_uri, settings, **kwargs)

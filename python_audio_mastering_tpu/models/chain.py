@@ -126,12 +126,16 @@ def _apply_eq_legacy(x, params, config):
 
 
 def master(audio, params: MasteringParams, config: ChainConfig,
-           return_result: bool = False):
+           return_result: bool = False, valid_frames=None):
     """Run the full mastering chain on ``(N, C)`` or ``(N,)`` float audio.
 
     Pure function of (audio, params) — safe to ``jit``, ``vmap`` (albums),
     ``grad`` (automastering) and shard.  Use :func:`make_master_fn` for a
     pre-jitted closure over the static config.
+
+    ``valid_frames`` (traced OK): for zero-padded batched tracks, restricts
+    the loudness measurement to the real samples so the gated LUFS equals
+    the unpadded track's.
     """
     x = jnp.asarray(audio, dtype=config.jnp_dtype())
 
@@ -168,7 +172,7 @@ def master(audio, params: MasteringParams, config: ChainConfig,
     if params.lufs_enabled:
         x, measured, gain = normalize_to_lufs(
             x, config.sample_rate, params.lufs, downmix=config.measure_downmix,
-            filter_method=config.filter_method)
+            filter_method=config.filter_method, valid_frames=valid_frames)
         gain_db = 20.0 * jnp.log10(gain)
     else:
         measured = jnp.asarray(jnp.nan, x.dtype)

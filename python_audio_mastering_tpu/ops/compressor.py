@@ -115,14 +115,40 @@ def attenuation_scan(stats, att0=None):
     return att, final
 
 
-def attenuation_blocked(stats, block_ctrl, overlap_ctrl, att0=None):
-    """Block-parallel ballistics with overlap warm-up (approximate).
+def attenuation_coarse(stats, factor, att0=None):
+    """Exact-at-freeze coarse estimate: the ballistics run on every
+    ``factor``-th control frame with rates scaled by ``factor``.
 
-    The control timeline is cut into blocks of ``block_ctrl`` steps; each
-    block's scan is warmed up over the previous ``overlap_ctrl`` steps from
-    att=0 (block 0's pre-context is masked to a no-op, so it is exact).
-    All blocks scan concurrently under ``vmap`` — sequential depth drops
-    from T to ``overlap_ctrl + block_ctrl``.
+    pydub's below-threshold freeze (max_att == 0 → dec == 0 → identity) is
+    representable exactly at any rate, so this coarse pass tracks the long
+    memory that overlap warm-up cannot; active periods are coarse here but
+    are corrected by the blocked pass's local warm-up.  Returns the coarse
+    attenuation sampled back onto the full control grid ``(T, ...)``.
+    """
+    sub = {
+        "max_att": stats["max_att"][::factor],
+        "above": stats["above"][::factor],
+        "inc": stats["inc"][::factor] * factor,
+        "dec": stats["dec"][::factor] * factor,
+    }
+    att_c, final = attenuation_scan(sub, att0)
+    t = stats["max_att"].shape[0]
+    idx = jnp.arange(t) // factor
+    return att_c[idx], final
+
+
+def attenuation_blocked(stats, block_ctrl, overlap_ctrl, att0=None,
+                        coarse_factor=64):
+    """Block-parallel ballistics: coarse pre-scan + overlap warm-up.
+
+    The control timeline is cut into blocks of ``block_ctrl`` steps; all
+    blocks scan concurrently under ``vmap`` (sequential depth
+    ``overlap_ctrl + block_ctrl`` instead of T).  Each block is warm-started
+    from the coarse pre-scan's value at its start (handling pydub's
+    below-threshold freeze, whose memory never fades) and refined over
+    ``overlap_ctrl`` preceding frames (handling active periods, where the
+    clamps give fading memory).  Block 0's pre-context is masked to a no-op,
+    so it starts exactly at ``att0``.
     """
     m = stats["max_att"]
     t = m.shape[0]
@@ -148,7 +174,14 @@ def attenuation_blocked(stats, block_ctrl, overlap_ctrl, att0=None):
 
     if att0 is None:
         att0 = jnp.zeros(trailing, m.dtype)
-    att0s = jnp.broadcast_to(att0, (nb,) + trailing)
+    if coarse_factor and t > coarse_factor:
+        att_coarse, _ = attenuation_coarse(stats, coarse_factor, att0)
+        # coarse value just before each block's warm-up window begins
+        warm_start = jnp.maximum(jnp.arange(nb) * block_ctrl - overlap_ctrl, 0)
+        att0s = att_coarse[warm_start]
+        att0s = att0s.at[0].set(att0)
+    else:
+        att0s = jnp.broadcast_to(att0, (nb,) + trailing)
 
     def scan_block(a0, mm, ab, ii, dd):
         _, att = jax.lax.scan(_ballistics_step, a0, (mm, ab.astype(bool), ii, dd))

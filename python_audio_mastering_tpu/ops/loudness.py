@@ -137,28 +137,38 @@ def loudness_from_cells(cell_ms, weights=None, cell_mask=None):
     return jnp.where(cnt_rel > 0, lufs, -jnp.inf)
 
 
-def integrated_loudness(x, sample_rate, downmix="bs1770", filter_method="auto"):
+def integrated_loudness(x, sample_rate, downmix="bs1770", filter_method="auto",
+                        valid_frames=None):
     """Gated integrated loudness (LUFS) of ``x``.
 
     ``downmix="reference_mono_mean"`` measures ``mean(channels)`` as mono —
     the reference engine's behaviour (engine:215); ``"bs1770"`` is the
     spec-correct multichannel measurement.
+
+    ``valid_frames`` (optional, traced OK): only cells fully inside the
+    first ``valid_frames`` samples count — for zero-padded batched tracks,
+    so the measure equals the unpadded track's (complete-blocks-only rule).
     """
     if x.ndim == 2 and downmix == "reference_mono_mean":
         x = x.mean(axis=1)
     cell_ms, _ = block_cell_energies(x, sample_rate, filter_method=filter_method)
-    return loudness_from_cells(cell_ms)
+    cell_mask = None
+    if valid_frames is not None:
+        cell = _gating_geometry(sample_rate)[0]
+        cell_mask = jnp.arange(cell_ms.shape[0]) < (valid_frames // cell)
+    return loudness_from_cells(cell_ms, cell_mask=cell_mask)
 
 
 def normalize_to_lufs(x, sample_rate, target_lufs=-14.0, downmix="reference_mono_mean",
-                      filter_method="auto"):
+                      filter_method="auto", valid_frames=None):
     """Measure + linear gain to hit ``target_lufs`` (engine:212-222).
 
     Like the reference: single-pass gain, no re-measure, no clip guard (the
     chain's limiter follows).  Returns ``(y, measured_lufs, gain_linear)``.
     """
     loudness = integrated_loudness(x, sample_rate, downmix=downmix,
-                                   filter_method=filter_method)
+                                   filter_method=filter_method,
+                                   valid_frames=valid_frames)
     gain_db = jnp.asarray(target_lufs, dtype=x.dtype) - loudness
     gain = 10.0 ** (gain_db / 20.0)
     # A silent/gated-out input measures -inf → infinite gain; pass through

@@ -77,39 +77,57 @@ def crossover_split(x, sample_rate, variant="worker", low_crossover=250.0,
     return jnp.stack([low, mid, high]), zf
 
 
+def detector_lookpad(sample_rate, hop=1):
+    """Carried detector-tail length: max band lookback, rounded up to hop."""
+    look_max = max(int(a * sample_rate / 1000.0) for a, _ in BAND_BALLISTICS_MS)
+    return -(-look_max // hop) * hop
+
+
 def multiband_compress(x, sample_rate, thresholds_db, ratios, variant="worker",
                        low_crossover=250.0, high_crossover=4000.0,
                        filter_method="auto", hop=1, block_ctrl=None,
-                       overlap_ctrl=None, zi=None, att0=None,
-                       return_state=False):
+                       overlap_ctrl=None, state=None, return_state=False):
     """Full 3-band compressor.
 
     Args:
       thresholds_db / ratios: length-3 (low, mid, high), traced OK.
       hop / block_ctrl / overlap_ctrl: ballistics execution knobs (see
         ``ops.compressor``); hop=1 + block_ctrl=None is the exact contract.
-      zi / att0: carried crossover + ballistics state for streaming.
+      state: carried streaming state dict {"crossover", "att", "tail"} from a
+        previous chunk (None = start of signal).  ``tail`` holds the last
+        ``detector_lookpad`` frames of each band so the RMS lookback window
+        is seamless across chunk boundaries.
 
-    Returns ``y`` ``(N, C)``, or ``(y, state)`` if ``return_state``.
+    Returns ``y`` ``(N, C)``, or ``(y, new_state)`` if ``return_state``.
     """
     squeeze = x.ndim == 1
     if squeeze:
         x = x[:, None]
+    n, c = x.shape
+    state = state or {}
     bands, zf = crossover_split(x, sample_rate, variant=variant,
                                 low_crossover=low_crossover,
                                 high_crossover=high_crossover,
-                                filter_method=filter_method, zi=zi)
+                                filter_method=filter_method,
+                                zi=state.get("crossover"))
+
+    tail = state.get("tail")
+    look_pad = detector_lookpad(sample_rate, hop)
+    det_bands = bands if tail is None else jnp.concatenate([tail, bands], axis=1)
+    skip_ctrl = 0 if tail is None else look_pad // hop
 
     # Detectors: per band (different lookback windows), fully parallel.
     stats = [
-        comp.detector_stats(bands[i], sample_rate, thresholds_db[i], ratios[i],
+        comp.detector_stats(det_bands[i], sample_rate, thresholds_db[i], ratios[i],
                             BAND_BALLISTICS_MS[i][0], BAND_BALLISTICS_MS[i][1],
                             hop=hop)
         for i in range(3)
     ]
-    stacked = {k: jnp.stack([s[k] for s in stats], axis=-1) for k in stats[0]}
+    stacked = {k: jnp.stack([s[k] for s in stats], axis=-1)[skip_ctrl:]
+               for k in stats[0]}
 
     # Ballistics: ONE scan, (3,)-vector carry.
+    att0 = state.get("att")
     if block_ctrl is None:
         att, att_f = comp.attenuation_scan(stacked, att0)
     else:
@@ -117,7 +135,6 @@ def multiband_compress(x, sample_rate, thresholds_db, ratios, variant="worker",
             overlap_ctrl = comp._default_overlap(sample_rate, 200.0, hop)
         att, att_f = comp.attenuation_blocked(stacked, block_ctrl, overlap_ctrl, att0)
 
-    n = x.shape[0]
     if hop > 1:
         att = jnp.repeat(att, hop, axis=0)[:n]
     gains = 10.0 ** (-att / 20.0)  # (N, 3)
@@ -125,5 +142,8 @@ def multiband_compress(x, sample_rate, thresholds_db, ratios, variant="worker",
     if squeeze:
         y = y[:, 0]
     if return_state:
-        return y, {"crossover": zf, "att": att_f}
+        new_tail = bands[:, -look_pad:, :] if n >= look_pad else jnp.concatenate(
+            [tail if tail is not None else jnp.zeros((3, look_pad, c), x.dtype),
+             bands], axis=1)[:, -look_pad:, :]
+        return y, {"crossover": zf, "att": att_f, "tail": new_tail}
     return y

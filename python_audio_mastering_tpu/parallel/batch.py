@@ -1,0 +1,111 @@
+"""Batched (album) mastering: vmap over a padded tracks axis, sharded pjit.
+
+The reference's batch mode loops over a folder sequentially
+(mastering_gui.py:208-222 → missing ``batch_process_audio``); its cloud
+path fans one job per worker instance.  Here an album is ONE batched call:
+
+* tracks are padded to a common length (zero padding is benign: effects are
+  causal, and BS.1770 gating discards silent blocks, so each track's
+  loudness is measured correctly inside the batch);
+* per-track parameters are a stacked ``MasteringParams`` pytree (each leaf
+  gains a leading tracks axis) — every track can use different sliders;
+* the batch axis is sharded over the mesh (``parallel.mesh``): XLA
+  partitions the whole fused chain with zero communication (the tracks
+  axis is embarrassingly parallel; collectives only appear if you shard
+  further).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from python_audio_mastering_tpu.config import ChainConfig, MasteringParams
+from python_audio_mastering_tpu.models.chain import master
+from python_audio_mastering_tpu.parallel.mesh import make_mesh, tracks_sharding
+
+__all__ = ["pad_tracks", "stack_params", "master_album", "make_album_fn"]
+
+
+def pad_tracks(tracks: Sequence[np.ndarray], multiple: int = 1):
+    """Stack variable-length tracks into ``(T, N_max, C)`` + lengths.
+
+    ``multiple`` rounds the padded length up (e.g. to a loudness cell or
+    block size) to stabilize compiled shapes across albums.
+    """
+    tracks = [t[:, None] if t.ndim == 1 else t for t in tracks]
+    n_max = max(t.shape[0] for t in tracks)
+    n_max = -(-n_max // multiple) * multiple
+    c = tracks[0].shape[1]
+    out = np.zeros((len(tracks), n_max, c), dtype=np.float32)
+    lengths = np.zeros((len(tracks),), dtype=np.int64)
+    for i, t in enumerate(tracks):
+        out[i, : t.shape[0]] = t
+        lengths[i] = t.shape[0]
+    return out, lengths
+
+
+def stack_params(params: Sequence[MasteringParams]) -> MasteringParams:
+    """Stack per-track params into one batched pytree (leaves get a leading
+    tracks axis).  Static switches must agree across the album."""
+    first = params[0]
+    for p in params[1:]:
+        if (p.multiband, p.lufs_enabled) != (first.multiband, first.lufs_enabled):
+            raise ValueError("all tracks in a batch must share the static "
+                             "multiband/lufs switches (split the album)")
+    return jax.tree.map(lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *params)
+
+
+def make_album_fn(config: ChainConfig, mesh=None):
+    """jit-compiled ``fn(batch (T,N,C), stacked_params, lengths (T,)) ->
+    (T,N,C)`` with the tracks axis sharded over ``mesh`` (default: all
+    devices).  ``lengths`` masks each track's loudness measurement so zero
+    padding does not dilute the gated LUFS."""
+    mesh = mesh or make_mesh()
+    sharding = tracks_sharding(mesh)
+
+    def one(audio, params, n_valid):
+        return master(audio, params, config=config, valid_frames=n_valid)
+
+    batched = jax.vmap(one)
+
+    @functools.partial(jax.jit, in_shardings=(sharding, None, sharding),
+                       out_shardings=sharding)
+    def fn(batch, params, lengths):
+        return batched(batch, params, lengths)
+
+    return fn
+
+
+def master_album(tracks: Sequence[np.ndarray], params, config: ChainConfig,
+                 mesh=None, pad_multiple: int = 1):
+    """Master an album in one sharded batched call.
+
+    ``params``: a single ``MasteringParams`` (applied to every track) or a
+    sequence of per-track params.  Returns a list of ``(N_i, C)`` arrays.
+    """
+    batch, lengths = pad_tracks(tracks, multiple=pad_multiple)
+    if isinstance(params, MasteringParams):
+        params = [params] * len(tracks)
+    stacked = stack_params(list(params))
+    mesh = mesh or make_mesh()
+    n_dev = mesh.devices.size
+    dev_lengths = lengths
+    if batch.shape[0] % n_dev != 0:
+        # pad the batch to a device multiple with silent tracks
+        extra = n_dev - batch.shape[0] % n_dev
+        batch = np.concatenate([batch, np.zeros((extra,) + batch.shape[1:],
+                                                batch.dtype)])
+        dev_lengths = np.concatenate([lengths, np.full((extra,), batch.shape[1],
+                                                       lengths.dtype)])
+        stacked = jax.tree.map(
+            lambda leaf: jnp.concatenate(
+                [leaf, jnp.broadcast_to(leaf[-1:], (extra,) + leaf.shape[1:])]),
+            stacked)
+    fn = make_album_fn(config, mesh)
+    out = np.asarray(fn(batch, stacked, dev_lengths))
+    return [out[i, : int(lengths[i])] for i in range(len(tracks))]

@@ -1,0 +1,182 @@
+"""Chunked streaming execution — the long-context axis (SURVEY.md §5).
+
+The reference bounds memory with a sequential 30 s chunk loop
+(engine:48-80) but resets every IIR filter and compressor envelope at each
+chunk boundary, producing discontinuities.  Here chunking is an *execution
+strategy*, not a semantic: all stateful ops carry explicit state
+(EQ/crossover ``zi``, compressor ballistics + detector lookback tail,
+K-weighting filter state + loudness cell energies), so the streamed result
+matches the one-shot fused graph and device memory stays constant in file
+length.
+
+Loudness needs no second pass over samples: 100 ms cell energies of the
+*processed* signal are accumulated during the effects pass; the global gain
+is computed from the gated cells, and a second lightweight pass applies
+gain + limiter chunk by chunk (the reference re-reads the whole assembled
+file instead, engine:82-88).
+
+Host→device overlap: chunk ``i+1`` is ``device_put`` while chunk ``i``
+computes (JAX async dispatch gives the double-buffering; nothing blocks
+until the host reads a result back).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from python_audio_mastering_tpu.config import ChainConfig, MasteringParams
+from python_audio_mastering_tpu.models.chain import apply_eq
+from python_audio_mastering_tpu.ops import loudness as loud
+from python_audio_mastering_tpu.ops import multiband
+from python_audio_mastering_tpu.ops.stereo import stereo_width
+from python_audio_mastering_tpu.ops.waveshaper import (
+    saturate,
+    saturate_legacy,
+    soft_limiter,
+    soft_limiter_legacy,
+)
+
+__all__ = ["master_streamed", "StreamState", "default_chunk_frames"]
+
+
+@dataclasses.dataclass
+class StreamState:
+    """Carried state across chunks (a pytree; device-resident)."""
+
+    eq_zi: Any = None
+    mb: Any = None          # multiband {"crossover", "att", "tail"}
+    kw_zi: Any = None       # K-weighting filter state (loudness metering)
+
+
+jax.tree_util.register_dataclass(
+    StreamState, data_fields=["eq_zi", "mb", "kw_zi"], meta_fields=[])
+
+
+def default_chunk_frames(config: ChainConfig, seconds: float = 30.0) -> int:
+    """A chunk length aligned to every streaming grid:
+
+    the 100 ms loudness cell and the compressor control hop — so per-chunk
+    grids concatenate into exactly the one-shot grids (the blocked IIR
+    handles any chunk length with an exact carried state).  Defaults to the
+    reference's 30 s granularity (engine:48).
+    """
+    cell = int(round(0.1 * config.sample_rate))
+    align = int(np.lcm(cell, max(config.comp_hop, 1)))
+    frames = int(seconds * config.sample_rate)
+    return max(align, (frames // align) * align)
+
+
+def _fx_chunk(chunk, params, config: ChainConfig, state: StreamState,
+              first: bool, variant_mb: str):
+    """Effects chain on one chunk with carried state + loudness cells."""
+    x = chunk
+    if config.variant == "worker":
+        x = saturate(x, params.saturation)
+    else:
+        x = saturate_legacy(x, params.saturation)
+    x, eq_zi = apply_eq(x, params, config, zi=state.eq_zi)
+    x = stereo_width(x, params.width)
+    mb_state = state.mb
+    if params.multiband:
+        x, mb_state = multiband.multiband_compress(
+            x, config.sample_rate,
+            thresholds_db=(params.low_thresh, params.mid_thresh, params.high_thresh),
+            ratios=(params.low_ratio, params.mid_ratio, params.high_ratio),
+            variant=variant_mb, filter_method=config.filter_method,
+            hop=config.comp_hop, block_ctrl=config.comp_block_ctrl,
+            overlap_ctrl=config.comp_overlap_ctrl,
+            state=None if first else mb_state, return_state=True)
+
+    # loudness cells of the *processed* chunk (pre-gain, pre-limiter)
+    meter_sig = x.mean(axis=1, keepdims=True) \
+        if (config.measure_downmix == "reference_mono_mean" and x.ndim == 2) else x
+    cells, kw_zi = loud.block_cell_energies(meter_sig, config.sample_rate,
+                                            zi=state.kw_zi,
+                                            filter_method=config.filter_method)
+    return x, StreamState(eq_zi=eq_zi, mb=mb_state, kw_zi=kw_zi), cells
+
+
+def _finalize_chunk(chunk, gain, config: ChainConfig):
+    x = chunk * gain
+    if config.variant == "worker":
+        return soft_limiter(x, threshold=config.limiter_threshold)
+    return soft_limiter_legacy(x, threshold=config.limiter_threshold)
+
+
+def master_streamed(audio, params: MasteringParams, config: ChainConfig,
+                    chunk_seconds: float = 30.0, progress_cb=None,
+                    carry_state: bool = True):
+    """Master arbitrarily long audio in constant device memory.
+
+    Args:
+      audio: ``(N, C)`` float array (numpy; ``np.memmap`` works for
+        larger-than-RAM files).
+      progress_cb: optional ``cb(message: str)`` — the GUI/worker progress
+        contract (mastering_gui.py:224, engine:77).
+      carry_state: True (default) carries all filter/ballistics state across
+        chunks (streamed == one-shot).  False reproduces the reference's
+        per-chunk state reset behaviour (engine:48-77) for parity studies.
+
+    Returns ``(audio_out (N, C) np.float32, measured_lufs, gain_db)``.
+    """
+    dtype = config.jnp_dtype()
+    squeeze = audio.ndim == 1
+    if squeeze:
+        audio = audio[:, None]
+    n, c = audio.shape
+    chunk_frames = default_chunk_frames(config, chunk_seconds)
+
+    fx = jax.jit(functools.partial(_fx_chunk, config=config,
+                                   variant_mb=config.variant),
+                 static_argnames=("first",))
+    fin = jax.jit(functools.partial(_finalize_chunk, config=config))
+
+    starts = list(range(0, n, chunk_frames))
+    num_chunks = len(starts)
+
+    state = StreamState()
+    processed = []
+    cell_list = []
+    pending = None  # (index, device array) — overlap host→device with compute
+    next_dev = jax.device_put(jnp.asarray(audio[0:chunk_frames], dtype=dtype))
+    for i, s in enumerate(starts):
+        cur = next_dev
+        if i + 1 < num_chunks:
+            nxt = audio[starts[i + 1]:starts[i + 1] + chunk_frames]
+            next_dev = jax.device_put(jnp.asarray(nxt, dtype=dtype))
+        y, new_state, cells = fx(cur, params, state=state,
+                                 first=(i == 0 or not carry_state))
+        state = new_state if carry_state else StreamState()
+        processed.append(y)       # device-resident until pass B
+        cell_list.append(cells)
+        if progress_cb:
+            progress_cb(f"Processed chunk {i + 1}/{num_chunks}...")
+
+    if params.lufs_enabled:
+        # pad-safe: last chunk's trailing partial cell was already dropped by
+        # block_cell_energies; cells across chunks concatenate exactly.
+        all_cells = jnp.concatenate(cell_list, axis=0)
+        measured = loud.loudness_from_cells(all_cells)
+        gain = 10.0 ** ((jnp.asarray(params.lufs, dtype) - measured) / 20.0)
+        gain = jnp.where(jnp.isfinite(measured), gain, 1.0)
+    else:
+        measured = jnp.asarray(jnp.nan, dtype)
+        gain = jnp.ones((), dtype)
+
+    outs = []
+    for i, y in enumerate(processed):
+        outs.append(np.asarray(fin(y, gain)))
+        if progress_cb:
+            progress_cb(f"Finalizing chunk {i + 1}/{num_chunks}...")
+
+    out = np.concatenate(outs, axis=0)[:n]
+    if squeeze:
+        out = out[:, 0]
+    gain_db = 20.0 * float(np.log10(float(gain)))
+    return out, float(measured), gain_db

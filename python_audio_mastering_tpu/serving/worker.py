@@ -1,0 +1,91 @@
+"""The processing worker: queue consumer + Pub/Sub-push-compatible endpoint.
+
+Two consumption modes, matching the reference's split architecture
+(worker/main.py):
+
+* :func:`make_consumer` — a callback for ``LocalQueue`` (single-machine
+  serving stack).
+* :func:`make_worker_app` — an HTTP push endpoint accepting the base64
+  Pub/Sub envelope POST exactly as Eventarc delivers it
+  (worker/main.py:16-50), for cloud deployment behind Pub/Sub.
+
+Failure policy (deliberate fix over the reference): the reference returns
+204 on errors so failed jobs vanish and clients poll forever
+(worker/main.py:46-50).  Here a failure writes a ``{output}.failed`` flag
+blob with the error message; /status surfaces it as ``status: error``.
+Jobs remain idempotent (deterministic output key, pure pipeline), so
+bounded retries are safe: ``max_retries`` re-runs before flagging failure.
+"""
+
+from __future__ import annotations
+
+import os
+import traceback
+
+from python_audio_mastering_tpu import engine
+from python_audio_mastering_tpu.serving.http import App, json_response, text_response
+from python_audio_mastering_tpu.serving.jobqueue import decode_envelope
+from python_audio_mastering_tpu.serving.store import BlobStore, parse_uri
+
+__all__ = ["make_consumer", "make_worker_app", "run_job"]
+
+
+def _output_key(uri: str) -> str:
+    _, _, key = parse_uri(uri)
+    return f"processed/mastered_{os.path.basename(key)}"
+
+
+def run_job(payload: dict, store: BlobStore, max_retries: int = 1,
+            config=None):
+    """Execute one mastering job with bounded retries + failure flag."""
+    gcs_uri = payload.get("gcs_uri")
+    settings = payload.get("settings")
+    if not gcs_uri or not settings:
+        raise ValueError(f"Missing GCS URI or settings in job data: {payload}")
+    out_key = _output_key(gcs_uri)
+    last = None
+    for attempt in range(max_retries + 1):
+        try:
+            engine.process_audio_from_uri(gcs_uri, settings, store=store,
+                                          config=config)
+            store.delete(f"{out_key}.failed")
+            return out_key
+        except Exception as e:  # noqa: BLE001 — job isolation
+            last = e
+            print(f"Job attempt {attempt + 1} failed for {gcs_uri}: {e}")
+            traceback.print_exc()
+    store.upload(f"{out_key}.failed", str(last).encode("utf-8"))
+    raise last
+
+
+def make_consumer(store: BlobStore, max_retries: int = 1, config=None):
+    def consume(payload: dict):
+        run_job(payload, store, max_retries=max_retries, config=config)
+
+    return consume
+
+
+def make_worker_app(store: BlobStore, max_retries: int = 1, config=None) -> App:
+    """Pub/Sub push endpoint (wire format of worker/main.py:16-50)."""
+    app = App("pam-worker")
+
+    @app.route("/", methods=["POST"])
+    def process_mastering_job(req):
+        try:
+            payload = decode_envelope(req.get_json())
+        except (ValueError, KeyError, TypeError):
+            return text_response("Bad Request: invalid Pub/Sub message format", 400)
+        gcs_uri = payload.get("gcs_uri")
+        settings = payload.get("settings")
+        if not gcs_uri or not settings:
+            return text_response("Bad Request: missing GCS URI or settings", 400)
+        try:
+            run_job(payload, store, max_retries=max_retries, config=config)
+        except Exception:  # noqa: BLE001
+            # ACK so the queue does not redeliver a poison message (the
+            # reference's policy, worker/main.py:46-50) — but the .failed
+            # flag written by run_job keeps the job observable.
+            pass
+        return text_response("", 204)
+
+    return app

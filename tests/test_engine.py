@@ -1,0 +1,99 @@
+"""Engine entry-point contracts: the GUI-facing process_audio /
+batch_process_audio surfaces (mastering_gui.py:204/220/226) and the
+blob-store worker engine."""
+
+import os
+
+import numpy as np
+import pytest
+
+from python_audio_mastering_tpu import engine
+from python_audio_mastering_tpu.config import ChainConfig
+from python_audio_mastering_tpu.io import wavio
+from python_audio_mastering_tpu.serving import LocalFSBlobStore
+from tests.conftest import make_signal
+
+FS = 44100
+FAST_CFG = ChainConfig(sample_rate=FS, dtype="float32")
+
+
+def _write_input(path, seconds=1.0, seed=0):
+    x = (make_signal(int(FS * seconds), seed=seed) * 0.4).astype(np.float32)
+    wavio.write_wav(path, x, FS)
+    return x
+
+
+def test_process_audio_single_file(tmp_path):
+    in_path = str(tmp_path / "in.wav")
+    out_path = str(tmp_path / "out.wav")
+    _write_input(in_path)
+    msgs = []
+    ok = engine.process_audio(
+        {"input_file": in_path, "output_file": out_path,
+         "saturation": 10, "preset": "pop", "lufs": -15.0},
+        status_callback=msgs.append, config=FAST_CFG)
+    assert ok
+    assert os.path.exists(out_path)
+    # completion detection contract: GUI string-matches "complete"
+    assert any("complete" in m.lower() for m in msgs)
+    assert any("LUFS" in m for m in msgs)  # loudness log line (engine:221)
+    out, fs = wavio.read_wav(out_path)
+    assert fs == FS and out.shape[1] == 2
+
+
+def test_process_audio_missing_input_reports_error():
+    msgs = []
+    ok = engine.process_audio(
+        {"input_file": "/nonexistent/x.wav", "output_file": "/tmp/y.wav",
+         "lufs": -14.0}, status_callback=msgs.append, config=FAST_CFG)
+    assert not ok
+    assert any("error" in m.lower() for m in msgs)
+
+
+def test_batch_process_audio(tmp_path):
+    in_dir = tmp_path / "in"
+    out_dir = tmp_path / "out"
+    in_dir.mkdir()
+    for i in range(3):
+        _write_input(str(in_dir / f"t{i}.wav"), seconds=0.5, seed=i)
+    (in_dir / "notes.txt").write_text("not audio")
+    msgs = []
+    n = engine.batch_process_audio({"saturation": 5, "lufs": -16.0},
+                                   str(in_dir), str(out_dir),
+                                   status_callback=msgs.append,
+                                   config=FAST_CFG)
+    assert n == 3
+    outs = sorted(os.listdir(out_dir))
+    assert outs == ["t0_mastered.wav", "t1_mastered.wav", "t2_mastered.wav"]
+    assert any("complete" in m.lower() for m in msgs)
+
+
+def test_batch_empty_folder_message(tmp_path):
+    in_dir = tmp_path / "empty"
+    in_dir.mkdir()
+    msgs = []
+    n = engine.batch_process_audio({}, str(in_dir), str(tmp_path / "o"),
+                                   status_callback=msgs.append)
+    assert n == 0
+    # exact GUI-matched string (mastering_gui.py:226)
+    assert any("no audio files" in m.lower() for m in msgs)
+
+
+def test_process_audio_from_uri_blob_contract(tmp_path):
+    store = LocalFSBlobStore(str(tmp_path), bucket="bkt")
+    x = (make_signal(FS // 2) * 0.4).astype(np.float32)
+    import io
+
+    buf = io.BytesIO()
+    wavio.write_wav(buf, x, FS)
+    store.upload("uploads/my beat.wav", buf.getvalue())
+
+    out_key = engine.process_audio_from_gcs(
+        "local://bkt/uploads/my beat.wav",
+        {"saturation": 10, "lufs": -14.0}, store=store, config=FAST_CFG)
+    # exact output-key contract (engine:92) + flag blob (engine:105-108)
+    assert out_key == "processed/mastered_my beat.wav"
+    assert store.exists(out_key)
+    assert store.exists(out_key + ".complete")
+    out, fs = wavio.read_wav(store.download(out_key))
+    assert fs == FS

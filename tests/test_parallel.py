@@ -1,0 +1,63 @@
+"""Album batching + mesh sharding on the 8-device virtual CPU mesh."""
+
+import jax
+import numpy as np
+import pytest
+
+from python_audio_mastering_tpu import ChainConfig, MasteringParams
+from python_audio_mastering_tpu.models.chain import master
+from python_audio_mastering_tpu.parallel import batch as pbatch
+from python_audio_mastering_tpu.parallel import mesh as pmesh
+from tests.conftest import make_signal
+
+FS = 44100
+
+
+def test_mesh_has_8_virtual_devices():
+    m = pmesh.make_mesh()
+    assert m.devices.size == 8
+
+
+def test_album_matches_per_track_mastering():
+    cfg = ChainConfig(sample_rate=FS, dtype="float64")
+    tracks = [make_signal(FS + i * 4410, fs=FS, seed=i) * 0.4 for i in range(4)]
+    params = [MasteringParams.from_settings({"preset": p, "lufs": -14.0})
+              for p in ("techno", "pop", "rock", "dubstep")]
+    album = pbatch.master_album(tracks, params, cfg)
+    assert len(album) == 4
+    for t, p, out in zip(tracks, params, album):
+        solo = np.asarray(master(t.astype(np.float64), p, cfg))
+        assert out.shape == t.shape
+        # zero padding is benign: gated loudness ignores the silent tail
+        np.testing.assert_allclose(out, solo, rtol=1e-6, atol=1e-7)
+
+
+def test_album_single_params_broadcast():
+    cfg = ChainConfig(sample_rate=FS, dtype="float64")
+    tracks = [make_signal(FS // 2, fs=FS, seed=i) * 0.3 for i in range(3)]
+    p = MasteringParams.from_settings({"saturation": 15, "lufs": -16.0})
+    album = pbatch.master_album(tracks, p, cfg)  # 3 tracks on 8 devices → pads
+    assert len(album) == 3
+
+
+def test_album_sharded_across_devices():
+    """The batch must actually be partitioned over the tracks axis."""
+    cfg = ChainConfig(sample_rate=FS, dtype="float32")
+    m = pmesh.make_mesh()
+    batch = np.stack([make_signal(FS // 2, fs=FS, seed=i).astype(np.float32) * 0.3
+                      for i in range(8)])
+    params = pbatch.stack_params(
+        [MasteringParams.from_settings({"lufs": -14.0})] * 8)
+    fn = pbatch.make_album_fn(cfg, m)
+    lengths = np.full((8,), batch.shape[1], dtype=np.int64)
+    out = fn(batch, params, lengths)
+    assert len(out.sharding.device_set) == 8
+    assert out.shape == batch.shape
+
+
+def test_stack_params_rejects_mixed_static_switches():
+    with pytest.raises(ValueError):
+        pbatch.stack_params([
+            MasteringParams.from_settings({"multiband": True}),
+            MasteringParams.from_settings({"multiband": False}),
+        ])

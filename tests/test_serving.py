@@ -1,0 +1,221 @@
+"""End-to-end job API tests: the reference's upload→queue→worker→poll flow
+on the local blob store + queue, wire-compatible with every reference
+client (frontend/index.html:161-257)."""
+
+import io
+import json
+import threading
+import time
+import urllib.request
+
+import numpy as np
+import pytest
+
+from python_audio_mastering_tpu import ChainConfig
+from python_audio_mastering_tpu.io import wavio
+from python_audio_mastering_tpu.serving import (
+    LocalFSBlobStore,
+    LocalQueue,
+    encode_envelope,
+    make_backend_app,
+    make_consumer,
+    make_worker_app,
+)
+from tests.conftest import make_signal
+
+FS = 44100
+FAST_CFG = ChainConfig(sample_rate=FS, dtype="float32")
+
+
+class Client:
+    """Minimal WSGI test client (no sockets needed)."""
+
+    def __init__(self, app):
+        self.app = app
+
+    def request(self, method, path, body=b"", content_type="application/json"):
+        from io import BytesIO
+
+        query = ""
+        if "?" in path:
+            path, query = path.split("?", 1)
+        environ = {
+            "REQUEST_METHOD": method,
+            "PATH_INFO": path,
+            "QUERY_STRING": query,
+            "CONTENT_LENGTH": str(len(body)),
+            "CONTENT_TYPE": content_type,
+            "wsgi.input": BytesIO(body),
+        }
+        captured = {}
+
+        def start_response(status, headers):
+            captured["status"] = int(status.split()[0])
+            captured["headers"] = dict(headers)
+
+        chunks = self.app(environ, start_response)
+        return captured["status"], captured["headers"], b"".join(chunks)
+
+    def get_json(self, method, path, payload=None):
+        body = json.dumps(payload).encode() if payload is not None else b""
+        status, _, out = self.request(method, path, body)
+        return status, json.loads(out)
+
+
+@pytest.fixture
+def stack(tmp_path):
+    store = LocalFSBlobStore(str(tmp_path), bucket="test-bucket")
+    q = LocalQueue(consumer=make_consumer(store, config=FAST_CFG))
+    q.start()
+    backend = Client(make_backend_app(store, q.publish))
+    yield store, q, backend
+    q.stop()
+
+
+def _wav_bytes(seconds=1.0):
+    x = (make_signal(int(FS * seconds)) * 0.4).astype(np.float32)
+    buf = io.BytesIO()
+    wavio.write_wav(buf, x, FS)
+    return buf.getvalue()
+
+
+def test_full_job_flow(stack):
+    """The frontend's 4-step flow (index.html:161-257), end to end."""
+    store, q, backend = stack
+
+    # health (backend/app.py:36-39)
+    status, _, body = backend.request("GET", "/")
+    assert status == 200 and b"running" in body
+
+    # step 1: signed upload URL
+    status, resp = backend.get_json("POST", "/generate-upload-url",
+                                    {"filename": "beat.wav",
+                                     "contentType": "audio/wav"})
+    assert status == 200 and "url" in resp
+    assert resp["gcs_uri"] == "local://test-bucket/beat.wav"
+
+    # step 2: PUT directly to the "signed" URL
+    status, _, _ = backend.request("PUT", resp["url"], _wav_bytes(),
+                                   content_type="audio/wav")
+    assert status == 200
+
+    # step 3: start processing
+    status, resp2 = backend.get_json(
+        "POST", "/start-processing",
+        {"gcs_uri": resp["gcs_uri"],
+         "settings": {"saturation": 10, "lufs": -14.0,
+                      "original_filename": "beat.wav"}})
+    assert status == 200
+    processed = resp2["processed_filename"]
+    assert processed == "processed/mastered_beat.wav"
+
+    # step 4: poll until done
+    for _ in range(300):
+        status, s = backend.get_json("GET", f"/status?filename={processed}")
+        assert status == 200
+        if s["status"] == "done":
+            break
+        assert s["status"] == "processing"
+        time.sleep(0.1)
+    else:
+        pytest.fail("job did not complete")
+
+    # download through the signed GET URL
+    status, _, wav = backend.request("GET", s["download_url"])
+    assert status == 200
+    out, fs = wavio.read_wav(wav)
+    assert fs == FS and out.shape[1] == 2
+
+
+def test_status_validation_and_errors(stack):
+    store, q, backend = stack
+    status, resp = backend.get_json("GET", "/status")
+    assert status == 400
+    status, resp = backend.get_json("POST", "/generate-upload-url", {})
+    assert status == 400 and "Filename" in resp["error"]
+    status, resp = backend.get_json("POST", "/start-processing", {"gcs_uri": "x"})
+    assert status == 400
+
+
+def test_failed_job_surfaces_error(stack):
+    """A corrupt upload must yield status=error, not the reference's
+    poll-forever black hole (worker/main.py:46-50)."""
+    store, q, backend = stack
+    store.upload("bad.wav", b"this is not audio")
+    status, resp = backend.get_json(
+        "POST", "/start-processing",
+        {"gcs_uri": "local://test-bucket/bad.wav",
+         "settings": {"lufs": -14.0, "original_filename": "bad.wav"}})
+    assert status == 200
+    processed = resp["processed_filename"]
+    for _ in range(100):
+        _, s = backend.get_json("GET", f"/status?filename={processed}")
+        if s["status"] == "error":
+            break
+        time.sleep(0.1)
+    else:
+        pytest.fail("failure was not surfaced")
+
+
+def test_blob_token_security(stack):
+    store, q, backend = stack
+    url = store.signed_put_url("secret.wav")
+    # tampered token
+    bad = url.replace("token=", "token=f00d")
+    status, _, _ = backend.request("PUT", bad, b"x")
+    assert status == 403
+    # expired token
+    old = store.signed_put_url("secret.wav", expires_s=-10)
+    status, _, _ = backend.request("PUT", old, b"x")
+    assert status == 403
+    # unsigned read of an existing blob
+    store.upload("private.txt", b"hidden")
+    status, _, _ = backend.request("GET", "/blob/private.txt")
+    assert status == 403
+
+
+def test_worker_push_endpoint_wire_format(tmp_path):
+    """The Pub/Sub push envelope surface (worker/main.py:16-50)."""
+    store = LocalFSBlobStore(str(tmp_path), bucket="b2")
+    store.upload("song.wav", _wav_bytes(0.5))
+    worker = Client(make_worker_app(store, config=FAST_CFG))
+
+    envelope = encode_envelope({
+        "gcs_uri": "local://b2/song.wav",
+        "settings": {"saturation": 5, "lufs": -15.0}})
+    status, _, _ = worker.request("POST", "/",
+                                  json.dumps(envelope).encode())
+    assert status == 204
+    assert store.exists("processed/mastered_song.wav")
+    assert store.exists("processed/mastered_song.wav.complete")
+
+    # malformed envelope → 400 (worker/main.py:22-24)
+    status, _, body = worker.request("POST", "/", b'{"nope": 1}')
+    assert status == 400
+
+
+def test_real_socket_server(tmp_path):
+    """One smoke test over an actual HTTP socket (wsgiref)."""
+    from wsgiref.simple_server import make_server
+
+    store = LocalFSBlobStore(str(tmp_path), bucket="sock")
+    q = LocalQueue(consumer=make_consumer(store, config=FAST_CFG))
+    q.start()
+    app = make_backend_app(store, q.publish)
+    server = make_server("127.0.0.1", 0, app)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/") as r:
+            assert b"running" in r.read()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/generate-upload-url",
+            data=json.dumps({"filename": "s.wav"}).encode(),
+            headers={"Content-Type": "application/json"}, method="POST")
+        with urllib.request.urlopen(req) as r:
+            out = json.loads(r.read())
+        assert out["gcs_uri"].endswith("/s.wav")
+    finally:
+        server.shutdown()
+        q.stop()

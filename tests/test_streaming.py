@@ -1,0 +1,79 @@
+"""Streamed (chunked, carried-state) execution vs the one-shot fused graph."""
+
+import numpy as np
+import pytest
+
+from python_audio_mastering_tpu import ChainConfig, MasteringParams, master
+from python_audio_mastering_tpu.parallel import streaming
+from tests.conftest import make_signal
+
+FS = 44100
+
+
+def _run(settings, seconds=3.0, chunk_seconds=0.9, config=None, **kw):
+    x = make_signal(int(FS * seconds), fs=FS) * 0.4
+    params = MasteringParams.from_settings(settings)
+    cfg = config or ChainConfig(sample_rate=FS, dtype="float64", filter_method="auto")
+    one_shot = np.asarray(master(x, params, cfg))
+    streamed, measured, gain_db = streaming.master_streamed(
+        x, params, cfg, chunk_seconds=chunk_seconds, **kw)
+    return x, one_shot, streamed, measured
+
+
+def test_streamed_equals_one_shot_basic():
+    _, full, streamed, _ = _run(
+        {"saturation": 20, "preset": "techno", "width": 1.3, "lufs": -14.0})
+    np.testing.assert_allclose(streamed, full, rtol=1e-9, atol=1e-11)
+
+
+def test_streamed_equals_one_shot_multiband():
+    _, full, streamed, _ = _run(
+        {"saturation": 10, "bass_boost": 3.0, "lufs": -14.0, "multiband": True},
+        seconds=2.0, chunk_seconds=0.5)
+    np.testing.assert_allclose(streamed, full, rtol=1e-9, atol=1e-11)
+
+
+def test_streamed_with_hop_and_blocked_ballistics():
+    cfg = ChainConfig(sample_rate=FS, dtype="float64", filter_method="blocked",
+                      comp_hop=8, comp_block_ctrl=512)
+    _, full, streamed, _ = _run(
+        {"saturation": 10, "bass_boost": 3.0, "lufs": -14.0, "multiband": True},
+        seconds=2.0, chunk_seconds=0.5, config=cfg)
+    # approximate mode: hop decimation + blocked-ballistics warm-up
+    # boundaries differ between chunked and one-shot execution; hold the
+    # fast-mode budget (rms ~0.03 dB on a 0.4-peak signal) instead.
+    assert np.sqrt(np.mean((streamed - full) ** 2)) < 2e-3
+    assert np.max(np.abs(streamed - full)) < 2e-2
+
+
+def test_streamed_partial_last_chunk():
+    """N not divisible by the chunk length (and not by the cell)."""
+    x = make_signal(int(FS * 1.77) + 123, fs=FS) * 0.4
+    params = MasteringParams.from_settings({"preset": "pop", "lufs": -15.0})
+    cfg = ChainConfig(sample_rate=FS, dtype="float64")
+    full = np.asarray(master(x, params, cfg))
+    streamed, _, _ = streaming.master_streamed(x, params, cfg, chunk_seconds=0.6)
+    np.testing.assert_allclose(streamed, full, rtol=1e-9, atol=1e-11)
+
+
+def test_progress_callback_messages():
+    msgs = []
+    x = make_signal(FS, fs=FS) * 0.3
+    params = MasteringParams.from_settings({"lufs": -16.0})
+    cfg = ChainConfig(sample_rate=FS, dtype="float64")
+    streaming.master_streamed(x, params, cfg, chunk_seconds=0.4,
+                              progress_cb=msgs.append)
+    assert any("Processed chunk 1/" in m for m in msgs)
+    assert any(m.startswith("Finalizing") for m in msgs)
+
+
+def test_reference_reset_mode_differs_at_boundaries():
+    """carry_state=False reproduces the reference's per-chunk state resets —
+    the output must differ from the carried version (documented defect)."""
+    x = make_signal(FS * 2, fs=FS) * 0.4
+    params = MasteringParams.from_settings({"preset": "techno", "lufs": None})
+    cfg = ChainConfig(sample_rate=FS, dtype="float64")
+    carried, _, _ = streaming.master_streamed(x, params, cfg, chunk_seconds=0.5)
+    reset, _, _ = streaming.master_streamed(x, params, cfg, chunk_seconds=0.5,
+                                            carry_state=False)
+    assert np.max(np.abs(carried - reset)) > 1e-6
