@@ -109,6 +109,17 @@ def _finalize_chunk(chunk, gain, config: ChainConfig):
     return soft_limiter_legacy(x, threshold=config.limiter_threshold)
 
 
+@functools.lru_cache(maxsize=32)
+def _compiled(config: ChainConfig):
+    """Per-config jitted chunk kernels, cached across master_streamed calls
+    (a worker serving many jobs compiles once per config + chunk shape)."""
+    fx = jax.jit(functools.partial(_fx_chunk, config=config,
+                                   variant_mb=config.variant),
+                 static_argnames=("first",))
+    fin = jax.jit(functools.partial(_finalize_chunk, config=config))
+    return fx, fin
+
+
 def master_streamed(audio, params: MasteringParams, config: ChainConfig,
                     chunk_seconds: float = 30.0, progress_cb=None,
                     carry_state: bool = True):
@@ -131,25 +142,29 @@ def master_streamed(audio, params: MasteringParams, config: ChainConfig,
         audio = audio[:, None]
     n, c = audio.shape
     chunk_frames = default_chunk_frames(config, chunk_seconds)
+    num_chunks = max(1, -(-n // chunk_frames))
 
-    fx = jax.jit(functools.partial(_fx_chunk, config=config,
-                                   variant_mb=config.variant),
-                 static_argnames=("first",))
-    fin = jax.jit(functools.partial(_finalize_chunk, config=config))
+    fx, fin = _compiled(config)
 
-    starts = list(range(0, n, chunk_frames))
-    num_chunks = len(starts)
+    def chunk_at(i):
+        # one compiled shape for every chunk: the tail is zero-padded and
+        # its padded cells are masked out of the loudness measure below
+        s = i * chunk_frames
+        c_arr = audio[s: s + chunk_frames]
+        if c_arr.shape[0] < chunk_frames:
+            c_arr = np.concatenate(
+                [c_arr, np.zeros((chunk_frames - c_arr.shape[0], c),
+                                 c_arr.dtype)])
+        return jax.device_put(jnp.asarray(c_arr, dtype=dtype))
 
     state = StreamState()
     processed = []
     cell_list = []
-    pending = None  # (index, device array) — overlap host→device with compute
-    next_dev = jax.device_put(jnp.asarray(audio[0:chunk_frames], dtype=dtype))
-    for i, s in enumerate(starts):
+    next_dev = chunk_at(0)  # overlap host→device with compute
+    for i in range(num_chunks):
         cur = next_dev
         if i + 1 < num_chunks:
-            nxt = audio[starts[i + 1]:starts[i + 1] + chunk_frames]
-            next_dev = jax.device_put(jnp.asarray(nxt, dtype=dtype))
+            next_dev = chunk_at(i + 1)
         y, new_state, cells = fx(cur, params, state=state,
                                  first=(i == 0 or not carry_state))
         state = new_state if carry_state else StreamState()
@@ -159,10 +174,13 @@ def master_streamed(audio, params: MasteringParams, config: ChainConfig,
             progress_cb(f"Processed chunk {i + 1}/{num_chunks}...")
 
     if params.lufs_enabled:
-        # pad-safe: last chunk's trailing partial cell was already dropped by
-        # block_cell_energies; cells across chunks concatenate exactly.
+        # cells across chunks concatenate into exactly the one-shot grid;
+        # cells that are not fully inside the real n samples are masked
+        # (the spec's complete-blocks-only rule, as in the one-shot path)
         all_cells = jnp.concatenate(cell_list, axis=0)
-        measured = loud.loudness_from_cells(all_cells)
+        cell_len = int(round(0.1 * config.sample_rate))
+        mask = jnp.arange(all_cells.shape[0]) < (n // cell_len)
+        measured = loud.loudness_from_cells(all_cells, cell_mask=mask)
         gain = 10.0 ** ((jnp.asarray(params.lufs, dtype) - measured) / 20.0)
         gain = jnp.where(jnp.isfinite(measured), gain, 1.0)
     else:

@@ -38,6 +38,12 @@ def make_backend_app(store: BlobStore, publish, upload_expiry_s: int = 900,
     def health(req):
         return text_response("Audio Mastering Backend is running.")
 
+    @app.route("/app")
+    def frontend(req):
+        page = os.path.join(os.path.dirname(__file__), "frontend.html")
+        with open(page, "rb") as f:
+            return text_response(f.read(), content_type="text/html")
+
     @app.route("/generate-upload-url", methods=["POST"])
     def generate_upload_url(req):
         data = req.get_json()
