@@ -41,21 +41,33 @@ import jax.numpy as jnp
 __all__ = ["compress_dynamic_range", "compressor_gain_db", "detector_stats"]
 
 
-def _moving_mean_square(x2_mean, look):
-    """mean(x²) over frames [i-look, i) with partial windows at the start.
+def _moving_mean_square(x2_mean, look, hop=1):
+    """mean(x²) over frames [i-look, i), sampled every ``hop`` frames.
 
-    ``x2_mean``: (N,) channel-pooled squared signal.  Window excludes frame
-    i itself (pydub's get_sample_slice(i-look, i)).  Returns (N,) with
-    rms²[0] = 0.
+    ``x2_mean``: (N,) channel-pooled squared signal.  The window excludes
+    frame i itself (pydub's ``get_sample_slice(i-look, i)``) and is partial
+    at the start of the signal (count = min(i, look)); value 0 at i = 0.
+
+    Gather-free: window sums are differences of *slices* of the prefix sum
+    (strided for hop > 1, where ``look`` is rounded up to a hop multiple so
+    both ends land on the control grid).  Exact at hop=1.
     """
     n = x2_mean.shape[0]
-    c = jnp.cumsum(x2_mean)  # c[i] = sum_{0..i}
-    csum = jnp.concatenate([jnp.zeros((1,), x2_mean.dtype), c])  # csum[i] = sum_{<i}
-    i = jnp.arange(n)
-    lo = jnp.maximum(i - look, 0)
-    wsum = csum[i] - csum[lo]
-    cnt = jnp.maximum(i - lo, 1)
-    return wsum / cnt
+    dt = x2_mean.dtype
+    csum = jnp.concatenate([jnp.zeros((1,), dt), jnp.cumsum(x2_mean)])
+    if hop == 1:
+        hi = csum[:n]
+        pad = min(look, n)
+        lo = jnp.concatenate([jnp.zeros((pad,), dt), csum[: n - pad]])
+        cnt = jnp.minimum(jnp.arange(n), max(look, 1)).clip(1)
+        return hi - lo, cnt.astype(dt)
+    look_eff = max(hop, -(-look // hop) * hop)
+    t = -(-n // hop)
+    hi = csum[::hop][:t]
+    pad = min(look_eff // hop, t)
+    lo = jnp.concatenate([jnp.zeros((pad,), dt), hi[: t - pad]])
+    cnt = jnp.minimum(jnp.arange(t) * hop, look_eff).clip(1)
+    return hi - lo, cnt.astype(dt)
 
 
 def detector_stats(x, sample_rate, threshold_db, ratio, attack_ms, release_ms, hop=1):
@@ -74,8 +86,9 @@ def detector_stats(x, sample_rate, threshold_db, ratio, attack_ms, release_ms, h
     look = max(0, int(attack_ms * sample_rate / 1000.0))
     thresh_amp = 10.0 ** (jnp.asarray(threshold_db, dt) / 20.0)
     x2 = (x * x).mean(axis=1)
-    ms = _moving_mean_square(x2, look)[::hop]
-    rms = jnp.sqrt(ms)
+    wsum, cnt = _moving_mean_square(x2, look, hop=hop)
+    ms = wsum / cnt
+    rms = jnp.sqrt(jnp.maximum(ms, 0.0))
     eps = jnp.asarray(1e-30, dt)
     db_over = jnp.maximum(20.0 * jnp.log10(jnp.maximum(rms, eps) / thresh_amp), 0.0)
     db_over = jnp.where(rms > 0, db_over, 0.0)

@@ -24,6 +24,8 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
+import pickle
 from typing import Any
 
 import jax
@@ -109,6 +111,39 @@ def _finalize_chunk(chunk, gain, config: ChainConfig):
     return soft_limiter_legacy(x, threshold=config.limiter_threshold)
 
 
+def _ckpt_path(checkpoint_dir, i):
+    return os.path.join(checkpoint_dir, f"chunk_{i:05d}.pkl")
+
+
+def _save_checkpoint(checkpoint_dir, i, y, state, cells):
+    """Durable per-chunk progress: atomic write of audio + carried state."""
+    payload = {
+        "y": np.asarray(y),
+        "state": jax.tree.map(np.asarray, state),
+        "cells": np.asarray(cells),
+    }
+    path = _ckpt_path(checkpoint_dir, i)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        pickle.dump(payload, f)
+    os.replace(tmp, path)
+
+
+def _load_checkpoints(checkpoint_dir, num_chunks, dtype):
+    """Replay the contiguous prefix of saved chunks."""
+    processed, cell_list = [], []
+    state = StreamState()
+    i = 0
+    while i < num_chunks and os.path.exists(_ckpt_path(checkpoint_dir, i)):
+        with open(_ckpt_path(checkpoint_dir, i), "rb") as f:
+            payload = pickle.load(f)
+        processed.append(jnp.asarray(payload["y"], dtype=dtype))
+        cell_list.append(jnp.asarray(payload["cells"], dtype=dtype))
+        state = jax.tree.map(jnp.asarray, payload["state"])
+        i += 1
+    return i, state, processed, cell_list
+
+
 @functools.lru_cache(maxsize=32)
 def _compiled(config: ChainConfig):
     """Per-config jitted chunk kernels, cached across master_streamed calls
@@ -122,7 +157,7 @@ def _compiled(config: ChainConfig):
 
 def master_streamed(audio, params: MasteringParams, config: ChainConfig,
                     chunk_seconds: float = 30.0, progress_cb=None,
-                    carry_state: bool = True):
+                    carry_state: bool = True, checkpoint_dir: str | None = None):
     """Master arbitrarily long audio in constant device memory.
 
     Args:
@@ -133,6 +168,11 @@ def master_streamed(audio, params: MasteringParams, config: ChainConfig,
       carry_state: True (default) carries all filter/ballistics state across
         chunks (streamed == one-shot).  False reproduces the reference's
         per-chunk state reset behaviour (engine:48-77) for parity studies.
+      checkpoint_dir: optional directory for chunk-granular resume: after
+        each chunk, carried state + processed audio land in
+        ``chunk_NNNN.npz``; an interrupted job re-run with the same
+        directory resumes at the first missing chunk instead of from zero
+        (the reference restarts whole jobs, SURVEY.md §5).
 
     Returns ``(audio_out (N, C) np.float32, measured_lufs, gain_db)``.
     """
@@ -160,8 +200,16 @@ def master_streamed(audio, params: MasteringParams, config: ChainConfig,
     state = StreamState()
     processed = []
     cell_list = []
-    next_dev = chunk_at(0)  # overlap host→device with compute
-    for i in range(num_chunks):
+    start_chunk = 0
+    if checkpoint_dir:
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        start_chunk, state, processed, cell_list = _load_checkpoints(
+            checkpoint_dir, num_chunks, dtype)
+        if start_chunk and progress_cb:
+            progress_cb(f"Resuming from chunk {start_chunk + 1}/{num_chunks}...")
+
+    next_dev = chunk_at(start_chunk) if start_chunk < num_chunks else None
+    for i in range(start_chunk, num_chunks):
         cur = next_dev
         if i + 1 < num_chunks:
             next_dev = chunk_at(i + 1)
@@ -170,6 +218,8 @@ def master_streamed(audio, params: MasteringParams, config: ChainConfig,
         state = new_state if carry_state else StreamState()
         processed.append(y)       # device-resident until pass B
         cell_list.append(cells)
+        if checkpoint_dir:
+            _save_checkpoint(checkpoint_dir, i, y, state, cells)
         if progress_cb:
             progress_cb(f"Processed chunk {i + 1}/{num_chunks}...")
 

@@ -1,0 +1,63 @@
+"""Chunk-granular checkpoint/resume for streamed jobs (SURVEY.md §5: the
+reference restarts interrupted jobs from zero)."""
+
+import numpy as np
+
+from python_audio_mastering_tpu import ChainConfig, MasteringParams
+from python_audio_mastering_tpu.parallel import streaming
+from tests.conftest import make_signal
+
+FS = 44100
+
+
+def test_resume_matches_uninterrupted(tmp_path):
+    x = make_signal(FS * 2, fs=FS) * 0.4
+    params = MasteringParams.from_settings({"preset": "techno", "saturation": 10,
+                                            "lufs": -14.0, "multiband": True})
+    cfg = ChainConfig(sample_rate=FS, dtype="float64")
+
+    full, m_full, g_full = streaming.master_streamed(x, params, cfg,
+                                                     chunk_seconds=0.5)
+
+    # "interrupted" run: process only the first 2 chunks, checkpointing
+    ckpt = str(tmp_path / "job1")
+    msgs = []
+
+    class Stop(Exception):
+        pass
+
+    def interrupt(msg):
+        msgs.append(msg)
+        if "Processed chunk 2/" in msg:
+            raise Stop()
+
+    try:
+        streaming.master_streamed(x, params, cfg, chunk_seconds=0.5,
+                                  progress_cb=interrupt, checkpoint_dir=ckpt)
+    except Stop:
+        pass
+
+    # resume: must skip done chunks and reproduce the uninterrupted result
+    msgs2 = []
+    out, m, g = streaming.master_streamed(x, params, cfg, chunk_seconds=0.5,
+                                          progress_cb=msgs2.append,
+                                          checkpoint_dir=ckpt)
+    assert any(m_.startswith("Resuming from chunk 3/") for m_ in msgs2)
+    np.testing.assert_allclose(out, full, rtol=1e-12, atol=1e-14)
+    assert abs(m - m_full) < 1e-12
+
+
+def test_completed_checkpoints_skip_all_compute(tmp_path):
+    x = make_signal(FS, fs=FS) * 0.3
+    params = MasteringParams.from_settings({"lufs": -16.0})
+    cfg = ChainConfig(sample_rate=FS, dtype="float64")
+    ckpt = str(tmp_path / "job2")
+    first, m1, _ = streaming.master_streamed(x, params, cfg, chunk_seconds=0.4,
+                                             checkpoint_dir=ckpt)
+    msgs = []
+    again, m2, _ = streaming.master_streamed(x, params, cfg, chunk_seconds=0.4,
+                                             progress_cb=msgs.append,
+                                             checkpoint_dir=ckpt)
+    assert not any(m.startswith("Processed chunk") for m in msgs)
+    np.testing.assert_array_equal(first, again)
+    assert m1 == m2
