@@ -171,10 +171,13 @@ class ChainConfig:
     # IIR execution: "auto" | "scan" | "blocked"
     filter_method: str = "auto"
     block_size: int = 512
-    # Compressor ballistics execution (exact contract: hop=1, no blocking).
+    # Compressor ballistics execution (exact contract: hop=1, scan).
     comp_hop: int = 1
     comp_block_ctrl: int | None = None
     comp_overlap_ctrl: int | None = None
+    # "auto": exact Pallas kernel on TPU, blocked/scan elsewhere.  Batched
+    # (vmapped) paths override to "blocked" — see parallel.batch.
+    comp_ballistics: str = "auto"
     # Loudness measurement downmix: reference parity is mono-mean.
     measure_downmix: str = "reference_mono_mean"
     limiter_threshold: float = 0.98

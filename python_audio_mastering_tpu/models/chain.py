@@ -150,7 +150,8 @@ def master(audio, params: MasteringParams, config: ChainConfig,
                 ratios=(params.low_ratio, params.mid_ratio, params.high_ratio),
                 variant="worker", filter_method=config.filter_method,
                 hop=config.comp_hop, block_ctrl=config.comp_block_ctrl,
-                overlap_ctrl=config.comp_overlap_ctrl)
+                overlap_ctrl=config.comp_overlap_ctrl,
+                ballistics=config.comp_ballistics)
         limiter = soft_limiter
     elif config.variant == "legacy":
         x = saturate_legacy(x, params.saturation)
@@ -163,7 +164,8 @@ def master(audio, params: MasteringParams, config: ChainConfig,
                 ratios=(params.low_ratio, params.mid_ratio, params.high_ratio),
                 variant="legacy", filter_method=config.filter_method,
                 hop=config.comp_hop, block_ctrl=config.comp_block_ctrl,
-                overlap_ctrl=config.comp_overlap_ctrl)
+                overlap_ctrl=config.comp_overlap_ctrl,
+                ballistics=config.comp_ballistics)
         limiter = functools.partial(soft_limiter_legacy,
                                     threshold=config.limiter_threshold)
     else:

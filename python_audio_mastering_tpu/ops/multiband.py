@@ -86,13 +86,18 @@ def detector_lookpad(sample_rate, hop=1):
 def multiband_compress(x, sample_rate, thresholds_db, ratios, variant="worker",
                        low_crossover=250.0, high_crossover=4000.0,
                        filter_method="auto", hop=1, block_ctrl=None,
-                       overlap_ctrl=None, state=None, return_state=False):
+                       overlap_ctrl=None, state=None, return_state=False,
+                       ballistics="auto"):
     """Full 3-band compressor.
 
     Args:
       thresholds_db / ratios: length-3 (low, mid, high), traced OK.
       hop / block_ctrl / overlap_ctrl: ballistics execution knobs (see
-        ``ops.compressor``); hop=1 + block_ctrl=None is the exact contract.
+        ``ops.compressor``); hop=1 + exact ballistics is the exact contract.
+      ballistics: "auto" (Pallas kernel on TPU — exact; else blocked/scan),
+        "pallas", "blocked", or "scan".  NOTE: "pallas" must not be vmapped
+        (its sequential-grid carry is per-call); batched/album paths use
+        "blocked" (see parallel.batch).
       state: carried streaming state dict {"crossover", "att", "tail"} from a
         previous chunk (None = start of signal).  ``tail`` holds the last
         ``detector_lookpad`` frames of each band so the RMS lookback window
@@ -126,14 +131,23 @@ def multiband_compress(x, sample_rate, thresholds_db, ratios, variant="worker",
     stacked = {k: jnp.stack([s[k] for s in stats], axis=-1)[skip_ctrl:]
                for k in stats[0]}
 
-    # Ballistics: ONE scan, (3,)-vector carry.
+    # Ballistics: ONE pass, (3,)-vector carry.
     att0 = state.get("att")
-    if block_ctrl is None:
-        att, att_f = comp.attenuation_scan(stacked, att0)
-    else:
+    if ballistics == "auto":
+        from python_audio_mastering_tpu.ops import pallas_kernels as pk
+
+        ballistics = "pallas" if pk.available() else (
+            "blocked" if block_ctrl is not None else "scan")
+    if ballistics == "pallas":
+        from python_audio_mastering_tpu.ops import pallas_kernels as pk
+
+        att, att_f = pk.ballistics_pallas(stacked, att0)
+    elif ballistics == "blocked" and block_ctrl is not None:
         if overlap_ctrl is None:
             overlap_ctrl = comp._default_overlap(sample_rate, 200.0, hop)
         att, att_f = comp.attenuation_blocked(stacked, block_ctrl, overlap_ctrl, att0)
+    else:
+        att, att_f = comp.attenuation_scan(stacked, att0)
 
     if hop > 1:
         att = jnp.repeat(att, hop, axis=0)[:n]

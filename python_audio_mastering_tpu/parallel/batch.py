@@ -67,6 +67,12 @@ def make_album_fn(config: ChainConfig, mesh=None):
     padding does not dilute the gated LUFS."""
     mesh = mesh or make_mesh()
     sharding = tracks_sharding(mesh)
+    # the Pallas ballistics kernel's sequential-grid carry is per-call and
+    # must not be vmapped; batched tracks use the block-parallel ballistics
+    import dataclasses as _dc
+
+    config = _dc.replace(
+        config, comp_ballistics="blocked" if config.comp_block_ctrl else "scan")
 
     def one(audio, params, n_valid):
         return master(audio, params, config=config, valid_frames=n_valid)

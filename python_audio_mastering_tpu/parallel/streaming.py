@@ -93,6 +93,7 @@ def _fx_chunk(chunk, params, config: ChainConfig, state: StreamState,
             variant=variant_mb, filter_method=config.filter_method,
             hop=config.comp_hop, block_ctrl=config.comp_block_ctrl,
             overlap_ctrl=config.comp_overlap_ctrl,
+            ballistics=config.comp_ballistics,
             state=None if first else mb_state, return_state=True)
 
     # loudness cells of the *processed* chunk (pre-gain, pre-limiter)
