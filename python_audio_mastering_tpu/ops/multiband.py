@@ -141,7 +141,12 @@ def multiband_compress(x, sample_rate, thresholds_db, ratios, variant="worker",
     if ballistics == "pallas":
         from python_audio_mastering_tpu.ops import pallas_kernels as pk
 
-        att, att_f = pk.ballistics_pallas(stacked, att0)
+        dt = stacked["max_att"].dtype
+        ca = jnp.asarray([hop / max(a * sample_rate / 1000.0, 1.0)
+                          for a, _ in BAND_BALLISTICS_MS], dt)
+        cr = jnp.asarray([hop / max(r * sample_rate / 1000.0, 1.0)
+                          for _, r in BAND_BALLISTICS_MS], dt)
+        att, att_f = pk.ballistics_pallas_rates(stacked["max_att"], ca, cr, att0)
     elif ballistics == "blocked" and block_ctrl is not None:
         if overlap_ctrl is None:
             overlap_ctrl = comp._default_overlap(sample_rate, 200.0, hop)

@@ -2,16 +2,22 @@
 
 The one hot op left after the MXU-blocked IIR and the gather-free detector
 is the compressor *ballistics* recurrence — a strictly sequential scalar
-state machine per band.  `lax.scan` pays ~10-20 µs per step in dispatch and
-dynamic-slice overhead; the block-parallel version trades accuracy for
-depth.  :func:`ballistics_pallas` instead runs the WHOLE recurrence exactly
-in one kernel: stats live in VMEM laid out ``(bands_padded=8, T)`` (sublane
--major so each control step is one lane column), the time axis is tiled
-over a sequential grid with the attenuation carry held in VMEM scratch
-across grid steps, and the inner ``fori_loop`` is pure VPU work.
+state machine per band (``lax.scan`` pays ~10-20 µs per step in dispatch
+overhead; the block-parallel version trades accuracy for depth).
+
+Key structural fact (from the pydub contract, see ops/compressor.py): the
+per-step inputs collapse to ONE array.  ``above ⇔ max_att > 0`` (both mean
+rms > threshold) and ``inc``/``dec`` are ``max_att`` times constant
+per-band rate factors.  So the kernel streams a single ``(bands, T)`` array
+through VMEM: time is tiled over a *sequential* grid with the attenuation
+carry held in VMEM scratch across grid steps; inside a tile the kernel
+walks 128 control steps per vector register, consuming lane 0 and emitting
+lane 127 while rotating with ``pltpu.roll`` (Mosaic has no cheap dynamic
+lane indexing — every slice index stays static).
 
 Numerically identical to ``ops.compressor.attenuation_scan`` (tested in
-interpret mode on CPU and compiled on TPU).
+interpret mode on CPU and compiled on TPU).  Not differentiable (no VJP);
+gradient paths (models/automaster.py) use the scan.
 """
 
 from __future__ import annotations
@@ -23,28 +29,18 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["ballistics_pallas", "available"]
+__all__ = ["ballistics_pallas", "ballistics_pallas_rates", "available"]
 
-_SUBLANES = 8  # float32 sublane count; bands are padded up to this
+_SUBLANES = 8   # float32 sublane count; bands are padded up to this
+_LANES = 128
 
 
 def available() -> bool:
     return jax.default_backend() in ("tpu", "axon")
 
 
-_LANES = 128
-
-
-def _kernel(m_ref, ab_ref, inc_ref, dec_ref, att0_ref, out_ref, final_ref,
-            carry_ref, *, tile: int):
-    """Sequential ballistics over one (SUBLANES, tile) block.
-
-    Mosaic has no cheap dynamic lane indexing, so the time axis is walked
-    128 lanes at a time: each macro step loads one vreg-sized (8, 128) tile
-    per stat, and the inner loop consumes lane 0 / emits lane 127 while
-    rotating the tiles with ``pltpu.roll`` — every slice index static, all
-    state in vector registers.
-    """
+def _kernel(m_ref, ca_ref, cr_ref, att0_ref, out_ref, final_ref, carry_ref,
+            *, tile: int):
     step = pl.program_id(0)
     n_steps = pl.num_programs(0)
 
@@ -52,31 +48,26 @@ def _kernel(m_ref, ab_ref, inc_ref, dec_ref, att0_ref, out_ref, final_ref,
     def _():
         carry_ref[:, :] = att0_ref[:, :]
 
+    ca = ca_ref[:, :]  # (SUBLANES, 1) per-band attack rate factor
+    cr = cr_ref[:, :]  # (SUBLANES, 1) per-band release rate factor
+
     def macro(k, att):
         base = pl.multiple_of(k * _LANES, _LANES)
         mv = m_ref[:, pl.ds(base, _LANES)]
-        abv = ab_ref[:, pl.ds(base, _LANES)]
-        iv = inc_ref[:, pl.ds(base, _LANES)]
-        dv = dec_ref[:, pl.ds(base, _LANES)]
         outs = jnp.zeros((m_ref.shape[0], _LANES), m_ref.dtype)
 
         def inner(_, c):
-            att, mv, abv, iv, dv, outs = c
+            att, mv, outs = c
             m0 = mv[:, 0:1]
-            ab0 = abv[:, 0:1]
-            i0 = iv[:, 0:1]
-            d0 = dv[:, 0:1]
-            attack = jnp.minimum(att + i0, m0)
-            release = jnp.maximum(att - d0, 0.0)
-            new = jnp.where((ab0 > 0.0) & (att <= m0), attack, release)
+            attack = jnp.minimum(att + m0 * ca, m0)
+            release = jnp.maximum(att - m0 * cr, 0.0)
+            new = jnp.where((m0 > 0.0) & (att <= m0), attack, release)
             outs = jnp.concatenate(
-                [pltpu.roll(outs, _LANES - 1, axis=1)[:, :_LANES - 1], new], axis=1)
-            return (new, pltpu.roll(mv, _LANES - 1, axis=1),
-                    pltpu.roll(abv, _LANES - 1, axis=1), pltpu.roll(iv, _LANES - 1, axis=1),
-                    pltpu.roll(dv, _LANES - 1, axis=1), outs)
+                [pltpu.roll(outs, _LANES - 1, axis=1)[:, :_LANES - 1], new],
+                axis=1)
+            return new, pltpu.roll(mv, _LANES - 1, axis=1), outs
 
-        att, _, _, _, _, outs = jax.lax.fori_loop(
-            0, _LANES, inner, (att, mv, abv, iv, dv, outs))
+        att, _, outs = jax.lax.fori_loop(0, _LANES, inner, (att, mv, outs))
         out_ref[:, pl.ds(base, _LANES)] = outs
         return att
 
@@ -89,36 +80,40 @@ def _kernel(m_ref, ab_ref, inc_ref, dec_ref, att0_ref, out_ref, final_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "interpret"))
-def _run(m, ab, inc, dec, att0, tile, interpret):
+def _run(m, ca, cr, att0, tile, interpret):
     bp, t = m.shape  # (SUBLANES, T_padded), T_padded % tile == 0
     grid = (t // tile,)
     spec = pl.BlockSpec((bp, tile), lambda i: (0, i))
+    one = pl.BlockSpec((bp, 1), lambda i: (0, 0))
     out, final = pl.pallas_call(
         functools.partial(_kernel, tile=tile),
         grid=grid,
-        in_specs=[spec, spec, spec, spec,
-                  pl.BlockSpec((bp, 1), lambda i: (0, 0))],
-        out_specs=[spec, pl.BlockSpec((bp, 1), lambda i: (0, 0))],
+        in_specs=[spec, one, one, one],
+        out_specs=[spec, one],
         out_shape=[jax.ShapeDtypeStruct((bp, t), m.dtype),
                    jax.ShapeDtypeStruct((bp, 1), m.dtype)],
         scratch_shapes=[pltpu.VMEM((bp, 1), m.dtype)],
         interpret=interpret,
-    )(m, ab, inc, dec, att0)
+    )(m, ca, cr, att0)
     return out, final
 
 
-def ballistics_pallas(stats, att0=None, tile: int = 4096, interpret: bool = False):
+def ballistics_pallas_rates(max_att, attack_rate, release_rate, att0=None,
+                            tile: int = 8192, interpret: bool = False):
     """Exact sequential ballistics as ONE Pallas kernel.
 
-    ``stats``: dict of ``(T, B)`` arrays (``max_att``, ``above``, ``inc``,
-    ``dec``) with B ≤ 8 bands.  Returns ``(att (T, B), att_final (B,))`` —
-    the same contract as ``attenuation_scan``.
+    Args:
+      max_att: ``(T, B)`` (or ``(T,)``) per-control-step attenuation targets
+        (dB ≥ 0; 0 ⇔ below threshold).
+      attack_rate / release_rate: ``(B,)`` per-band per-step rate factors
+        (``hop/attack_frames`` and ``hop/release_frames``).
+    Returns ``(att (T, B), att_final (B,))`` — the ``attenuation_scan``
+    contract.
     """
-    m = stats["max_att"]
+    m = max_att
     squeeze = m.ndim == 1
     if squeeze:
-        stats = {k: v[:, None] for k, v in stats.items()}
-        m = stats["max_att"]
+        m = m[:, None]
     t, b = m.shape
     if b > _SUBLANES:
         raise ValueError(f"at most {_SUBLANES} bands, got {b}")
@@ -130,22 +125,42 @@ def ballistics_pallas(stats, att0=None, tile: int = 4096, interpret: bool = Fals
     tile = -(-tile // _LANES) * _LANES
     t_pad = -(-t // tile) * tile
 
-    def prep(a, fill=0.0):
-        a = a.astype(dt)
-        a = jnp.pad(a, ((0, t_pad - t), (0, _SUBLANES - b)),
-                    constant_values=fill)
-        return a.T  # (SUBLANES, T_pad), band-per-sublane
+    m_p = jnp.pad(m.astype(dt), ((0, t_pad - t), (0, _SUBLANES - b))).T
+    ca_p = jnp.pad(jnp.asarray(attack_rate, dt), (0, _SUBLANES - b))[:, None]
+    cr_p = jnp.pad(jnp.asarray(release_rate, dt), (0, _SUBLANES - b))[:, None]
+    att0_p = jnp.pad(jnp.asarray(att0, dt), (0, _SUBLANES - b))[:, None]
 
-    m_p = prep(stats["max_att"])
-    ab_p = prep(stats["above"].astype(dt))
-    inc_p = prep(stats["inc"])
-    dec_p = prep(stats["dec"])
-    att0_p = jnp.pad(att0.astype(dt), (0, _SUBLANES - b))[:, None]
-
-    out, final = _run(m_p, ab_p, inc_p, dec_p, att0_p, tile, interpret)
+    out, final = _run(m_p, ca_p, cr_p, att0_p, tile, interpret)
     att = out.T[:t, :b]
     att_f = final[:b, 0]
     if squeeze:
         att = att[:, 0]
         att_f = att_f[0]
+    return att, att_f
+
+
+def ballistics_pallas(stats, att0=None, tile: int = 8192,
+                      interpret: bool = False):
+    """``attenuation_scan``-compatible wrapper over the rate-factor kernel.
+
+    Derives the constant per-band rates from the stats arrays (valid by
+    construction: ``inc = m * hop/attack_frames``, ``dec = m *
+    hop/release_frames`` — see ``detector_stats``).
+    """
+    m = stats["max_att"]
+    squeeze = m.ndim == 1
+    if squeeze:
+        m = m[:, None]
+    eps = jnp.asarray(1e-30, m.dtype)
+    inc = stats["inc"].reshape(m.shape)
+    dec = stats["dec"].reshape(m.shape)
+    # rate = sum(inc)/sum(m): exact since inc/m is constant where m > 0
+    denom = jnp.maximum(m.sum(axis=0), eps)
+    ca = inc.sum(axis=0) / denom
+    cr = dec.sum(axis=0) / denom
+    att0_v = None if att0 is None else (jnp.atleast_1d(att0))
+    att, att_f = ballistics_pallas_rates(m, ca, cr, att0_v, tile=tile,
+                                         interpret=interpret)
+    if squeeze:
+        return att[:, 0] if att.ndim == 2 else att, att_f
     return att, att_f
