@@ -124,17 +124,17 @@ def main():
         details["configs"]["full_chain_5min"] = {"wall_s": wall,
                                                  "rtf": 300.0 / wall}
 
-        # (5) batched album: 12 tracks × 5 min (60 min total) on the chip
+        # (5) batched album: 12 tracks × 5 min (60 min total), chunked
+        # double-buffered streaming with progress callbacks, one chip
         tracks = [_mk_audio(300.0, seed=10 + i) for i in range(12)]
         mesh1 = pmesh.make_mesh(devices=jax.devices()[:1])
         t0 = time.perf_counter()
-        outs = pbatch.master_album(tracks, params, cfg, mesh=mesh1)
-        jax.block_until_ready(outs[0])
+        outs, _ = pbatch.master_album_streamed(tracks, params, cfg, mesh=mesh1)
         compile_and_run = time.perf_counter() - t0
         t0 = time.perf_counter()
-        outs = pbatch.master_album(tracks, params, cfg, mesh=mesh1)
+        outs, _ = pbatch.master_album_streamed(tracks, params, cfg, mesh=mesh1)
         wall = time.perf_counter() - t0
-        details["configs"]["album_12x5min"] = {
+        details["configs"]["album_12x5min_streamed"] = {
             "wall_s": wall, "first_call_s": compile_and_run,
             "rtf": 12 * 300.0 / wall}
 

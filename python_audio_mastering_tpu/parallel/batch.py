@@ -28,7 +28,8 @@ from python_audio_mastering_tpu.config import ChainConfig, MasteringParams
 from python_audio_mastering_tpu.models.chain import master
 from python_audio_mastering_tpu.parallel.mesh import make_mesh, tracks_sharding
 
-__all__ = ["pad_tracks", "stack_params", "master_album", "make_album_fn"]
+__all__ = ["pad_tracks", "stack_params", "master_album",
+           "master_album_streamed", "make_album_fn"]
 
 
 def pad_tracks(tracks: Sequence[np.ndarray], multiple: int = 1):
@@ -41,7 +42,8 @@ def pad_tracks(tracks: Sequence[np.ndarray], multiple: int = 1):
     n_max = max(t.shape[0] for t in tracks)
     n_max = -(-n_max // multiple) * multiple
     c = tracks[0].shape[1]
-    out = np.zeros((len(tracks), n_max, c), dtype=np.float32)
+    dt = np.result_type(*[t.dtype for t in tracks], np.float32)
+    out = np.zeros((len(tracks), n_max, c), dtype=dt)
     lengths = np.zeros((len(tracks),), dtype=np.int64)
     for i, t in enumerate(tracks):
         out[i, : t.shape[0]] = t
@@ -85,6 +87,123 @@ def make_album_fn(config: ChainConfig, mesh=None):
         return batched(batch, params, lengths)
 
     return fn
+
+
+def master_album_streamed(tracks: Sequence[np.ndarray], params,
+                          config: ChainConfig, mesh=None,
+                          chunk_seconds: float = 30.0, progress_cb=None):
+    """Album mastering, batched over tracks AND chunked over time.
+
+    The production path for long albums: device memory is bounded by
+    ``tracks_per_shard × chunk`` (not album length), every stateful op
+    carries state across chunks, loudness accumulates per-track cell
+    energies with valid-length masks, and the tracks axis shards over the
+    mesh.  This is BASELINE config 5 ("batched album, chunked
+    double-buffered streaming with progress callbacks").
+    """
+    import dataclasses as _dc
+
+    from python_audio_mastering_tpu.ops import loudness as loud
+    from python_audio_mastering_tpu.parallel import streaming as strm
+    from python_audio_mastering_tpu.ops.waveshaper import (
+        soft_limiter, soft_limiter_legacy)
+
+    config = _dc.replace(
+        config, comp_ballistics="blocked" if config.comp_block_ctrl else "scan")
+    batch, lengths = pad_tracks(tracks)
+    if isinstance(params, MasteringParams):
+        params = [params] * len(tracks)
+    stacked = stack_params(list(params))
+    mesh = mesh or make_mesh()
+    n_dev = mesh.devices.size
+    t0 = batch.shape[0]
+    if t0 % n_dev:
+        extra = n_dev - t0 % n_dev
+        batch = np.concatenate(
+            [batch, np.zeros((extra,) + batch.shape[1:], batch.dtype)])
+        stacked = jax.tree.map(
+            lambda leaf: jnp.concatenate(
+                [leaf, jnp.broadcast_to(leaf[-1:], (extra,) + leaf.shape[1:])]),
+            stacked)
+    sharding = tracks_sharding(mesh)
+
+    chunk_frames = strm.default_chunk_frames(config, chunk_seconds)
+    n = batch.shape[1]
+    num_chunks = max(1, -(-n // chunk_frames))
+    dtype = config.jnp_dtype()
+
+    fx = jax.jit(functools.partial(_fx_chunk_batched, config=config),
+                 static_argnames=("first",))
+
+    state = strm.StreamState()  # replaced by per-track states after chunk 0
+    processed = []
+    cells_list = []
+
+    def chunk_at(i):
+        s = i * chunk_frames
+        c_arr = batch[:, s: s + chunk_frames]
+        if c_arr.shape[1] < chunk_frames:
+            c_arr = np.concatenate(
+                [c_arr, np.zeros((c_arr.shape[0],
+                                  chunk_frames - c_arr.shape[1],
+                                  c_arr.shape[2]), c_arr.dtype)], axis=1)
+        return jax.device_put(jnp.asarray(c_arr, dtype=dtype), sharding)
+
+    next_dev = chunk_at(0)
+    for i in range(num_chunks):
+        cur = next_dev
+        if i + 1 < num_chunks:
+            next_dev = chunk_at(i + 1)
+        y, state, cells = fx(cur, stacked, state, first=(i == 0))
+        processed.append(y)
+        cells_list.append(cells)
+        if progress_cb:
+            progress_cb(f"Processed chunk {i + 1}/{num_chunks} "
+                        f"({batch.shape[0]} tracks)...")
+
+    cell_len = int(round(0.1 * config.sample_rate))
+    all_cells = jnp.concatenate(cells_list, axis=1)  # (T, cells, C)
+    dev_lengths = jnp.concatenate(
+        [jnp.asarray(lengths),
+         jnp.full((batch.shape[0] - t0,), n, jnp.int64)]) \
+        if batch.shape[0] != t0 else jnp.asarray(lengths)
+
+    if stacked.lufs_enabled:
+        def track_gain(cells, n_valid, target):
+            mask = jnp.arange(cells.shape[0]) < (n_valid // cell_len)
+            measured = loud.loudness_from_cells(cells, cell_mask=mask)
+            g = 10.0 ** ((target - measured) / 20.0)
+            return jnp.where(jnp.isfinite(measured), g, 1.0), measured
+
+        gains, measured = jax.jit(jax.vmap(track_gain))(
+            all_cells, dev_lengths, jnp.asarray(stacked.lufs, dtype))
+    else:
+        gains = jnp.ones((batch.shape[0],), dtype)
+        measured = jnp.full((batch.shape[0],), jnp.nan, dtype)
+
+    limiter = soft_limiter if config.variant == "worker" else soft_limiter_legacy
+
+    @jax.jit
+    def finalize(chunk, g):
+        return limiter(chunk * g[:, None, None], threshold=config.limiter_threshold)
+
+    outs = [np.asarray(finalize(y, gains)) for y in processed]
+    out = np.concatenate(outs, axis=1)[:, :n]
+    return ([out[i, : int(lengths[i])] for i in range(len(tracks))],
+            np.asarray(measured)[: len(tracks)])
+
+
+def _fx_chunk_batched(chunk, params, state, config, first):
+    from python_audio_mastering_tpu.parallel import streaming as strm
+
+    def one(c, p, s):
+        return strm._fx_chunk(c, p, config=config, state=s, first=first,
+                              variant_mb=config.variant)
+
+    if first:
+        # build a fresh empty state per track (pytree of Nones broadcast)
+        return jax.vmap(lambda c, p: one(c, p, strm.StreamState()))(chunk, params)
+    return jax.vmap(one)(chunk, params, state)
 
 
 def master_album(tracks: Sequence[np.ndarray], params, config: ChainConfig,

@@ -61,3 +61,22 @@ def test_stack_params_rejects_mixed_static_switches():
             MasteringParams.from_settings({"multiband": True}),
             MasteringParams.from_settings({"multiband": False}),
         ])
+
+
+def test_album_streamed_matches_per_track_streamed():
+    """Batched+chunked streaming == per-track streaming exactly
+    (BASELINE config 5 path)."""
+    from python_audio_mastering_tpu.parallel import streaming
+
+    cfg = ChainConfig(sample_rate=FS, dtype="float64")
+    tracks = [make_signal(FS + i * 4410, fs=FS, seed=i) * 0.4 for i in range(2)]
+    params = [MasteringParams.from_settings({"preset": p, "lufs": -14.0,
+                                             "multiband": True})
+              for p in ("techno", "pop")]
+    outs, measured = pbatch.master_album_streamed(tracks, params, cfg,
+                                                  chunk_seconds=0.5)
+    for i, (t, p) in enumerate(zip(tracks, params)):
+        solo, m_solo, _ = streaming.master_streamed(t, p, cfg,
+                                                    chunk_seconds=0.5)
+        np.testing.assert_allclose(outs[i], solo, rtol=0, atol=1e-10)
+        assert abs(float(measured[i]) - m_solo) < 1e-9
