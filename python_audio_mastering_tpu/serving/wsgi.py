@@ -50,3 +50,11 @@ def _publisher(store):
 _backend_store = _store()
 backend_app = make_backend_app(_backend_store, _publisher(_backend_store))
 worker_app = make_worker_app(_store())
+
+
+def __getattr__(name):
+    if name == "monolith_app":
+        from python_audio_mastering_tpu.serving.monolith import make_monolith_app
+
+        return make_monolith_app(_store())
+    raise AttributeError(name)

@@ -219,3 +219,35 @@ def test_real_socket_server(tmp_path):
     finally:
         server.shutdown()
         q.stop()
+
+
+def test_monolith_legacy_contract(tmp_path):
+    """The monolithic variant's distinct wire schema (main.py:16-91):
+    bucket/file payload, processed/ self-trigger guard, no mastered_
+    prefix, 'done' flag content."""
+    from python_audio_mastering_tpu.serving.monolith import make_monolith_app
+
+    store = LocalFSBlobStore(str(tmp_path), bucket="mono")
+    store.upload("uploads/beat.wav", _wav_bytes(0.5))
+    app = Client(make_monolith_app(
+        store, config=ChainConfig(sample_rate=FS, variant="legacy",
+                                  dtype="float32")))
+    envelope = encode_envelope({
+        "bucket_name": "mono", "file_name": "uploads/beat.wav",
+        "settings": {"saturation": 10, "lufs": -15.0, "use_multiband": False}})
+    status, _, _ = app.request("POST", "/", json.dumps(envelope).encode())
+    assert status == 200
+    assert store.exists("processed/beat.wav")
+    assert store.download("processed/beat.wav.complete") == b"done"
+
+    # self-trigger guard: processed/ inputs are ignored
+    envelope = encode_envelope({
+        "bucket_name": "mono", "file_name": "processed/beat.wav",
+        "settings": {}})
+    status, _, body = app.request("POST", "/", json.dumps(envelope).encode())
+    assert status == 200
+    assert not store.exists("processed/processed/beat.wav")
+
+    # malformed envelope → 400 with the reference's message
+    status, _, body = app.request("POST", "/", b'{"x": 1}')
+    assert status == 400 and b"Invalid Pub/Sub message format" in body
