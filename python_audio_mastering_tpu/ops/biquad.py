@@ -84,8 +84,15 @@ def reference_shelf_sos(sample_rate, cutoff_hz, gain_db, kind):
     At ``gain_db == 0`` the section is algebraically the identity, so no
     skip-branch is needed under ``jit`` (the reference early-returns instead,
     engine:171 — numerically equivalent).
+
+    The doubled convention sends ``w0`` past π when ``fc > nyquist/2``
+    (e.g. the 8 kHz treble shelf below fs = 32 kHz), where the reference's
+    filter turns unstable and its output blows up; we clamp ``w0`` just
+    under π instead (DESIGN.md D10).  At 44.1/48 kHz the clamp is inactive
+    and the reference formula holds exactly.
     """
-    w0 = 2.0 * math.pi * (cutoff_hz / (0.5 * sample_rate))
+    w0 = min(2.0 * math.pi * (cutoff_hz / (0.5 * sample_rate)),
+             0.999 * math.pi)
     return _shelf_sos(w0, gain_db, kind)
 
 
@@ -112,10 +119,11 @@ def _peak_sos(w0, gain_db, q):
 def reference_peak_sos(sample_rate, center_hz, gain_db, q=1.0):
     """Peaking EQ exactly as the reference computes it (engine:185-194).
 
-    Same doubled-``w0`` convention as :func:`reference_shelf_sos`.
-    Identity at 0 dB.
+    Same doubled-``w0`` convention (and stability clamp) as
+    :func:`reference_shelf_sos`.  Identity at 0 dB.
     """
-    w0 = 2.0 * math.pi * (center_hz / (0.5 * sample_rate))
+    w0 = min(2.0 * math.pi * (center_hz / (0.5 * sample_rate)),
+             0.999 * math.pi)
     return _peak_sos(w0, gain_db, q)
 
 
