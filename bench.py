@@ -88,18 +88,30 @@ def main():
         from python_audio_mastering_tpu.parallel import batch as pbatch
         from python_audio_mastering_tpu.parallel import mesh as pmesh
 
-        # (1) LUFS-normalize 30 s — loudness accuracy + speed
+        # (1) LUFS-normalize 30 s — meter parity + speed.  `meter_err` is
+        # the BASELINE metric (our gated measurement vs the independent
+        # BS.1770 oracle on identical audio); `target_hit_err` reflects the
+        # reference's own single-pass-gain algorithm (gain shifts the
+        # gating selection slightly; no re-measure, engine:219-222).
         a30 = jnp.asarray(_mk_audio(30.0)) * 0.5
         nfn = jax.jit(lambda a: loud.normalize_to_lufs(a, fs, -14.0)[0])
         wall, out = _time_fn(nfn, a30)
+        mfn = jax.jit(lambda a: loud.integrated_loudness(
+            a, fs, downmix="reference_mono_mean"))
+        ours = float(mfn(a30))
         sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
         try:
             from oracles.bs1770_ref import integrated_loudness as oracle_lufs
-            err = abs(oracle_lufs(np.asarray(out).mean(axis=1), fs) - (-14.0))
+            meter_err = abs(ours - oracle_lufs(
+                np.asarray(a30).mean(axis=1), fs))
+            target_hit_err = abs(oracle_lufs(
+                np.asarray(out).mean(axis=1), fs) - (-14.0))
         except Exception:
-            err = None
+            meter_err = target_hit_err = None
         details["configs"]["lufs_normalize_30s"] = {
-            "wall_s": wall, "rtf": 30.0 / wall, "lufs_err_LU": err}
+            "wall_s": wall, "rtf": 30.0 / wall,
+            "meter_err_LU_vs_oracle": meter_err,
+            "target_hit_err_LU_single_pass_gain": target_hit_err}
 
         # (2) 4-band EQ, four presets, 3-min
         eq_walls = {}

@@ -139,15 +139,33 @@ def master_album_streamed(tracks: Sequence[np.ndarray], params,
     processed = []
     cells_list = []
 
-    def chunk_at(i):
-        s = i * chunk_frames
-        c_arr = batch[:, s: s + chunk_frames]
-        if c_arr.shape[1] < chunk_frames:
-            c_arr = np.concatenate(
-                [c_arr, np.zeros((c_arr.shape[0],
-                                  chunk_frames - c_arr.shape[1],
-                                  c_arr.shape[2]), c_arr.dtype)], axis=1)
-        return jax.device_put(jnp.asarray(c_arr, dtype=dtype), sharding)
+    # Keep the (small relative to HBM) input batch device-resident and slice
+    # chunks on-device: chunking bounds the *intermediates*, and host↔device
+    # transfers happen once per album, not once per chunk.  Fall back to
+    # host-streamed chunks only when the padded batch itself is too big.
+    n_padded = num_chunks * chunk_frames
+    batch_bytes = batch.shape[0] * n_padded * batch.shape[2] * dtype.itemsize
+    device_resident = batch_bytes <= 4 << 30
+    if device_resident:
+        pad = n_padded - batch.shape[1]
+        whole = np.concatenate(
+            [batch, np.zeros((batch.shape[0], pad, batch.shape[2]),
+                             batch.dtype)], axis=1) if pad else batch
+        x_dev = jax.device_put(jnp.asarray(whole, dtype=dtype), sharding)
+
+        def chunk_at(i):
+            return jax.lax.slice_in_dim(x_dev, i * chunk_frames,
+                                        (i + 1) * chunk_frames, axis=1)
+    else:
+        def chunk_at(i):
+            s = i * chunk_frames
+            c_arr = batch[:, s: s + chunk_frames]
+            if c_arr.shape[1] < chunk_frames:
+                c_arr = np.concatenate(
+                    [c_arr, np.zeros((c_arr.shape[0],
+                                      chunk_frames - c_arr.shape[1],
+                                      c_arr.shape[2]), c_arr.dtype)], axis=1)
+            return jax.device_put(jnp.asarray(c_arr, dtype=dtype), sharding)
 
     next_dev = chunk_at(0)
     for i in range(num_chunks):
@@ -187,8 +205,12 @@ def master_album_streamed(tracks: Sequence[np.ndarray], params,
     def finalize(chunk, g):
         return limiter(chunk * g[:, None, None], threshold=config.limiter_threshold)
 
-    outs = [np.asarray(finalize(y, gains)) for y in processed]
-    out = np.concatenate(outs, axis=1)[:, :n]
+    finalized = [finalize(y, gains) for y in processed]
+    if device_resident:
+        # one device-side concat, ONE host transfer for the whole album
+        out = np.asarray(jnp.concatenate(finalized, axis=1))[:, :n]
+    else:
+        out = np.concatenate([np.asarray(y) for y in finalized], axis=1)[:, :n]
     return ([out[i, : int(lengths[i])] for i in range(len(tracks))],
             np.asarray(measured)[: len(tracks)])
 

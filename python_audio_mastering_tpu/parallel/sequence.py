@@ -1,0 +1,219 @@
+"""Sequence parallelism: ONE long track sharded across the device mesh.
+
+The second scaling axis (SURVEY.md §5's ring-attention analog): the
+waveform itself is partitioned over devices under ``shard_map``.  Per
+stage:
+
+* elementwise stages run shard-local;
+* every IIR cascade (EQ, crossovers, K-weighting) uses
+  ``ops.iir.sosfilt_sharded`` — shard-local blocked MXU passes plus an
+  ``all_gather`` of tiny boundary-state summaries over ICI (exact);
+* the compressor detector gets the previous shard's band tail via
+  ``ppermute`` and uses *global* sample positions for its partial-window
+  counts (exact);
+* the ballistics recurrence takes a globally coarse pre-scan
+  (``all_gather`` of decimated stats → tiny replicated scan) for shard
+  warm-starts, then runs block-parallel within each shard (the fast-mode
+  approximation, same budget as single-device blocked mode);
+* loudness cells are computed shard-locally, gathered, and gated globally;
+  the gain is a replicated scalar.
+
+Use :func:`master_track_sharded` for files too long for one chip's HBM or
+to cut latency on a multi-chip slice.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from python_audio_mastering_tpu.config import ChainConfig, MasteringParams
+from python_audio_mastering_tpu.models.chain import eq_sos
+from python_audio_mastering_tpu.ops import compressor as comp
+from python_audio_mastering_tpu.ops import iir
+from python_audio_mastering_tpu.ops import loudness as loud
+from python_audio_mastering_tpu.ops.biquad import butter_sos
+from python_audio_mastering_tpu.ops.loudness import kweight_sos
+from python_audio_mastering_tpu.ops.multiband import BAND_BALLISTICS_MS, detector_lookpad
+from python_audio_mastering_tpu.ops.stereo import stereo_width
+from python_audio_mastering_tpu.ops.waveshaper import (
+    saturate,
+    saturate_legacy,
+    soft_limiter,
+    soft_limiter_legacy,
+)
+from python_audio_mastering_tpu.parallel.mesh import make_mesh
+
+__all__ = ["master_track_sharded"]
+
+
+def _sharded_detector(band, axis, sample_rate, threshold_db, ratio,
+                      attack_ms, release_ms, hop, look_pad):
+    """pydub detector stats for one sharded band signal — exact.
+
+    Windows crossing the shard boundary read the previous shard's tail
+    (``ppermute``); partial windows at the very start of the *track* use
+    the true global position for their sample count.
+    """
+    d = jax.lax.axis_size(axis)
+    idx = jax.lax.axis_index(axis)
+    n_local = band.shape[0]
+    dt = band.dtype
+
+    x2 = (band * band).mean(axis=1)
+    tail = jax.lax.ppermute(x2[-look_pad:], axis,
+                            [(i, i + 1) for i in range(d - 1)])
+    tail = jnp.where(idx == 0, jnp.zeros_like(tail), tail)
+    x2p = jnp.concatenate([tail, x2])
+
+    look = max(0, int(attack_ms * sample_rate / 1000.0))
+    look_eff = max(hop, -(-look // hop) * hop) if hop > 1 else look
+    csum = jnp.concatenate([jnp.zeros((1,), dt), jnp.cumsum(x2p)])
+    t_ctrl = n_local // hop
+    # control positions are local_i = k*hop; padded index = look_pad + k*hop
+    hi_idx_start = look_pad
+    hi = csum[hi_idx_start::hop][:t_ctrl]
+    lo = csum[hi_idx_start - look_eff::hop][:t_ctrl]
+    global_pos = idx * n_local + jnp.arange(t_ctrl) * hop
+    cnt = jnp.minimum(global_pos, max(look_eff, 1)).clip(1).astype(dt)
+    ms = (hi - lo) / cnt
+
+    thresh_amp = 10.0 ** (jnp.asarray(threshold_db, dt) / 20.0)
+    rms = jnp.sqrt(jnp.maximum(ms, 0.0))
+    eps = jnp.asarray(1e-30, dt)
+    db_over = jnp.maximum(20.0 * jnp.log10(jnp.maximum(rms, eps) / thresh_amp), 0.0)
+    db_over = jnp.where(rms > 0, db_over, 0.0)
+    max_att = (1.0 - 1.0 / jnp.asarray(ratio, dt)) * db_over
+    attack_frames = max(attack_ms * sample_rate / 1000.0, 1.0)
+    release_frames = max(release_ms * sample_rate / 1000.0, 1.0)
+    return {"max_att": max_att, "above": rms > thresh_amp,
+            "inc": max_att / attack_frames * hop,
+            "dec": max_att / release_frames * hop}
+
+
+def _sharded_ballistics(stats, axis, block_ctrl, overlap_ctrl, coarse=64):
+    """Coarse global pre-scan (replicated) + per-shard blocked refinement."""
+    d = jax.lax.axis_size(axis)
+    idx = jax.lax.axis_index(axis)
+    t_local = stats["max_att"].shape[0]
+
+    sub = {"max_att": stats["max_att"][::coarse],
+           "above": stats["above"][::coarse],
+           "inc": stats["inc"][::coarse] * coarse,
+           "dec": stats["dec"][::coarse] * coarse}
+    gathered = {k: jax.lax.all_gather(v, axis).reshape(
+        (-1,) + v.shape[1:]) for k, v in sub.items()}
+    att_coarse, _ = comp.attenuation_scan(gathered)
+    t_sub = t_local // coarse
+    att0 = jnp.where(idx == 0,
+                     jnp.zeros_like(att_coarse[0]),
+                     att_coarse[jnp.maximum(idx * t_sub - 1, 0)])
+    att, _ = comp.attenuation_blocked(stats, block_ctrl, overlap_ctrl,
+                                      att0=att0, coarse_factor=coarse)
+    return att
+
+
+def _chain_shard(x, params, config: ChainConfig, axis: str, n_valid: int):
+    fs = config.sample_rate
+    run_iir = functools.partial(iir.sosfilt_sharded, axis_name=axis,
+                                block_size=config.block_size)
+
+    if config.variant == "worker":
+        x = saturate(x, params.saturation)
+    else:
+        x = saturate_legacy(x, params.saturation)
+    x, _ = run_iir(eq_sos(params, fs).astype(x.dtype), x)
+    x = stereo_width(x, params.width)
+
+    if params.multiband:
+        lp = jnp.asarray(butter_sos(4, 250.0, "lowpass", fs=fs), x.dtype)
+        hp = jnp.asarray(butter_sos(4, 4000.0, "highpass", fs=fs), x.dtype)
+        low, _ = run_iir(lp, x)
+        high, _ = run_iir(hp, x)
+        mid = x - low - high
+        bands = [low, mid, high]
+        hop = config.comp_hop
+        look_pad = detector_lookpad(fs, hop)
+        thr = (params.low_thresh, params.mid_thresh, params.high_thresh)
+        rat = (params.low_ratio, params.mid_ratio, params.high_ratio)
+        stats = [
+            _sharded_detector(bands[i], axis, fs, thr[i], rat[i],
+                              BAND_BALLISTICS_MS[i][0], BAND_BALLISTICS_MS[i][1],
+                              hop, look_pad)
+            for i in range(3)
+        ]
+        stacked = {k: jnp.stack([s[k] for s in stats], axis=-1)
+                   for k in stats[0]}
+        block_ctrl = config.comp_block_ctrl or 2048
+        overlap_ctrl = config.comp_overlap_ctrl or comp._default_overlap(
+            fs, 200.0, hop)
+        att = _sharded_ballistics(stacked, axis, block_ctrl, overlap_ctrl)
+        if hop > 1:
+            att = jnp.repeat(att, hop, axis=0)[: x.shape[0]]
+        gains = 10.0 ** (-att / 20.0)
+        x = jnp.einsum("bnc,nb->nc", jnp.stack(bands), gains)
+
+    # global gated loudness from shard-local cells
+    if params.lufs_enabled:
+        meter = x.mean(axis=1, keepdims=True) \
+            if config.measure_downmix == "reference_mono_mean" else x
+        kw = jnp.asarray(kweight_sos(fs), x.dtype)
+        kx, _ = run_iir(kw, meter)
+        cell = int(round(0.1 * fs))
+        n_cells = kx.shape[0] // cell
+        cells = (kx[: n_cells * cell] ** 2).reshape(n_cells, cell, -1).mean(axis=1)
+        all_cells = jax.lax.all_gather(cells, axis).reshape(-1, cells.shape[-1])
+        mask = jnp.arange(all_cells.shape[0]) < (n_valid // cell)
+        measured = loud.loudness_from_cells(all_cells, cell_mask=mask)
+        gain = 10.0 ** ((jnp.asarray(params.lufs, x.dtype) - measured) / 20.0)
+        gain = jnp.where(jnp.isfinite(measured), gain, 1.0)
+        x = x * gain
+        gain_db = 20.0 * jnp.log10(gain)
+    else:
+        measured = jnp.asarray(jnp.nan, x.dtype)
+        gain_db = jnp.zeros((), x.dtype)
+
+    if config.variant == "worker":
+        x = soft_limiter(x, threshold=config.limiter_threshold)
+    else:
+        x = soft_limiter_legacy(x, threshold=config.limiter_threshold)
+    return x, measured, gain_db
+
+
+def master_track_sharded(audio, params: MasteringParams, config: ChainConfig,
+                         mesh=None, axis: str = "seq"):
+    """Master one long track sharded over the mesh's devices.
+
+    Returns ``(audio_out np.ndarray, measured_lufs, gain_db)``.
+    """
+    mesh = mesh or make_mesh(axis)
+    d = int(mesh.devices.size)
+    squeeze = audio.ndim == 1
+    if squeeze:
+        audio = audio[:, None]
+    n, c = audio.shape
+    cell = int(round(0.1 * config.sample_rate))
+    align = int(np.lcm(cell, max(config.comp_hop, 1))) * d
+    n_pad = -(-n // align) * align
+    x = np.concatenate([np.asarray(audio),
+                        np.zeros((n_pad - n, c), np.asarray(audio).dtype)])
+
+    fn = jax.jit(
+        jax.shard_map(
+            functools.partial(_chain_shard, config=config, axis=axis,
+                              n_valid=n),
+            mesh=mesh, in_specs=(P(axis, None), P()),
+            out_specs=(P(axis, None), P(), P()), check_vma=False),
+    )
+    x_dev = jax.device_put(
+        jnp.asarray(x, config.jnp_dtype()),
+        NamedSharding(mesh, P(axis, None)))
+    y, measured, gain_db = fn(x_dev, params)
+    out = np.asarray(y)[:n]
+    if squeeze:
+        out = out[:, 0]
+    return out, float(measured), float(gain_db)

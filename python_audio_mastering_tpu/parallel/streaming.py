@@ -187,16 +187,33 @@ def master_streamed(audio, params: MasteringParams, config: ChainConfig,
 
     fx, fin = _compiled(config)
 
-    def chunk_at(i):
-        # one compiled shape for every chunk: the tail is zero-padded and
-        # its padded cells are masked out of the loudness measure below
-        s = i * chunk_frames
-        c_arr = audio[s: s + chunk_frames]
-        if c_arr.shape[0] < chunk_frames:
-            c_arr = np.concatenate(
-                [c_arr, np.zeros((chunk_frames - c_arr.shape[0], c),
-                                 c_arr.dtype)])
-        return jax.device_put(jnp.asarray(c_arr, dtype=dtype))
+    # Device-resident input when it fits comfortably (one transfer per file,
+    # chunks sliced on-device); host-streamed chunks for larger-than-HBM
+    # files (np.memmap inputs stay on the host path).
+    n_padded = num_chunks * chunk_frames
+    device_resident = (not isinstance(audio, np.memmap)
+                       and n_padded * c * dtype.itemsize <= 4 << 30)
+    if device_resident:
+        whole = np.asarray(audio)
+        if n_padded > n:
+            whole = np.concatenate(
+                [whole, np.zeros((n_padded - n, c), whole.dtype)])
+        x_dev = jax.device_put(jnp.asarray(whole, dtype=dtype))
+
+        def chunk_at(i):
+            return jax.lax.slice_in_dim(x_dev, i * chunk_frames,
+                                        (i + 1) * chunk_frames, axis=0)
+    else:
+        def chunk_at(i):
+            # one compiled shape for every chunk: the tail is zero-padded and
+            # its padded cells are masked out of the loudness measure below
+            s = i * chunk_frames
+            c_arr = audio[s: s + chunk_frames]
+            if c_arr.shape[0] < chunk_frames:
+                c_arr = np.concatenate(
+                    [c_arr, np.zeros((chunk_frames - c_arr.shape[0], c),
+                                     c_arr.dtype)])
+            return jax.device_put(jnp.asarray(c_arr, dtype=dtype))
 
     state = StreamState()
     processed = []
@@ -238,13 +255,16 @@ def master_streamed(audio, params: MasteringParams, config: ChainConfig,
         measured = jnp.asarray(jnp.nan, dtype)
         gain = jnp.ones((), dtype)
 
-    outs = []
+    finalized = []
     for i, y in enumerate(processed):
-        outs.append(np.asarray(fin(y, gain)))
+        finalized.append(fin(y, gain))
         if progress_cb:
             progress_cb(f"Finalizing chunk {i + 1}/{num_chunks}...")
 
-    out = np.concatenate(outs, axis=0)[:n]
+    if device_resident:
+        out = np.asarray(jnp.concatenate(finalized, axis=0))[:n]
+    else:
+        out = np.concatenate([np.asarray(y) for y in finalized], axis=0)[:n]
     if squeeze:
         out = out[:, 0]
     gain_db = 20.0 * float(np.log10(float(gain)))

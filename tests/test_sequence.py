@@ -1,0 +1,44 @@
+"""Sequence parallelism: one track sharded over the 8-device mesh."""
+
+import numpy as np
+import pytest
+
+from python_audio_mastering_tpu import ChainConfig, MasteringParams, master
+from python_audio_mastering_tpu.parallel import sequence
+from tests.conftest import make_signal
+
+FS = 44100
+
+
+def test_sharded_track_exact_without_multiband():
+    x = make_signal(FS * 4, fs=FS) * 0.4
+    p = MasteringParams.from_settings(
+        {"saturation": 20, "preset": "techno", "width": 1.3, "lufs": -14.0})
+    cfg = ChainConfig(sample_rate=FS, dtype="float64", filter_method="blocked")
+    ref = np.asarray(master(x, p, cfg))
+    got, measured, gain_db = sequence.master_track_sharded(x, p, cfg)
+    np.testing.assert_allclose(got, ref, rtol=1e-9, atol=1e-11)
+    assert np.isfinite(measured) and np.isfinite(gain_db)
+
+
+def test_sharded_track_multiband_within_fast_budget():
+    x = make_signal(FS * 4, fs=FS) * 0.4
+    p = MasteringParams.from_settings(
+        {"saturation": 10, "bass_boost": 3.0, "lufs": -14.0, "multiband": True})
+    cfg = ChainConfig(sample_rate=FS, dtype="float64", filter_method="blocked",
+                      comp_hop=8, comp_block_ctrl=512)
+    ref = np.asarray(master(x, p, cfg))
+    got, _, _ = sequence.master_track_sharded(x, p, cfg)
+    d = got - ref
+    assert np.sqrt((d ** 2).mean()) < 4e-3
+    assert np.abs(d).max() < 0.1
+
+
+def test_sharded_track_unaligned_length():
+    x = make_signal(FS * 2 + 1234, fs=FS) * 0.3
+    p = MasteringParams.from_settings({"preset": "pop", "lufs": -16.0})
+    cfg = ChainConfig(sample_rate=FS, dtype="float64", filter_method="blocked")
+    ref = np.asarray(master(x, p, cfg))
+    got, _, _ = sequence.master_track_sharded(x, p, cfg)
+    assert got.shape == x.shape
+    np.testing.assert_allclose(got, ref, rtol=1e-9, atol=1e-11)
