@@ -190,7 +190,10 @@ def master_track_sharded(audio, params: MasteringParams, config: ChainConfig,
 
     Returns ``(audio_out np.ndarray, measured_lufs, gain_db)``.
     """
-    mesh = mesh or make_mesh(axis)
+    if mesh is None:
+        mesh = make_mesh(axis)
+    else:
+        axis = mesh.axis_names[0]
     d = int(mesh.devices.size)
     squeeze = audio.ndim == 1
     if squeeze:
