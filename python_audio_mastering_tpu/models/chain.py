@@ -100,8 +100,7 @@ def _apply_eq_legacy(x, params, config):
                             block_size=config.block_size)
 
     def shelf(sig, fc, gain_db, btype):
-        sos = jnp.asarray(butter_sos(5, fc / (0.5 * fs), btype), sig.dtype)
-        filtered, _ = run(sos, sig)
+        filtered, _ = run(butter_sos(5, fc / (0.5 * fs), btype), sig)
         g = 10.0 ** (jnp.asarray(gain_db, sig.dtype) / 20.0)
         boosted = sig + filtered * (g - 1.0)
         cut = sig * g + filtered * (1.0 - g)
@@ -113,8 +112,7 @@ def _apply_eq_legacy(x, params, config):
         e1, e2 = normal / np.sqrt(q), normal * np.sqrt(q)
         lo, hi = min(e1, e2), max(e1, e2)
         hi = min(hi, 0.999999)
-        sos = jnp.asarray(butter_sos(2, [lo, hi], "bandpass"), sig.dtype)
-        filtered, _ = run(sos, sig)
+        filtered, _ = run(butter_sos(2, [lo, hi], "bandpass"), sig)
         g = 10.0 ** (jnp.asarray(gain_db, sig.dtype) / 20.0)
         return sig + filtered * (g - 1.0)
 

@@ -32,6 +32,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 __all__ = [
     "sosfilt_scan",
@@ -164,6 +165,59 @@ def state_to_zi(s, k):
 # ---------------------------------------------------------------------------
 
 
+@functools.lru_cache(maxsize=64)
+def _blocked_operators_static(sos_bytes, k, block_size):
+    """Float64 host-side operator precompute for *static* coefficients.
+
+    The in-graph float32 operator chain (L-step associative matrix-power
+    scan) loses ~1e-2 relative energy accuracy for near-unit-circle poles
+    (the 38 Hz K-weighting high-pass); building the operators in float64
+    numpy once and casting brings the blocked filter's energy error down to
+    ~3e-7 — essential for ≤0.1 LU loudness in float32 (see
+    tests/test_loudness.py::test_float32_accuracy_within_baseline).
+    """
+    import numpy as onp
+
+    sos = onp.frombuffer(sos_bytes, dtype=onp.float64).reshape(k, 6)
+    # pure-numpy state-space build: float64 must survive even when jax x64
+    # is disabled (the production default)
+    a = onp.zeros((2 * k, 2 * k))
+    b = onp.zeros(2 * k)
+    c = onp.zeros(2 * k)
+    d = 1.0
+    for j in range(k):
+        b0, b1, b2, _, a1, a2 = sos[j]
+        a_j = onp.array([[-a1, 1.0], [-a2, 0.0]])
+        b_j = onp.array([b1 - a1 * b0, b2 - a2 * b0])
+        s = 2 * j
+        a[s:s + 2, s:s + 2] = a_j
+        if j == 0:
+            b[:2] = b_j
+            c[:2] = [1.0, 0.0]
+            d = b0
+        else:
+            a[s:s + 2, :s] = onp.outer(b_j, c[:s])
+            b[s:s + 2] = b_j * d
+            c = onp.concatenate([c[:s] * b0, [1.0, 0.0],
+                                 onp.zeros(2 * k - s - 2)])
+            d = d * b0
+    s_dim = a.shape[0]
+    L = block_size
+    powers = onp.empty((L, s_dim, s_dim))
+    powers[0] = onp.eye(s_dim)
+    for t in range(1, L):
+        powers[t] = a @ powers[t - 1]
+    al = a @ powers[L - 1]
+    v = powers @ b
+    h = onp.concatenate([[d], v[: L - 1] @ c])
+    ii = onp.arange(L)
+    idx = ii[None, :] - ii[:, None]
+    t_mat = onp.where(idx >= 0, h[onp.clip(idx, 0, L - 1)], 0.0)
+    g = v[::-1].copy()
+    w = onp.einsum("i,tij->tj", c, powers)
+    return t_mat, g, w, al
+
+
 def _blocked_operators(sos, block_size):
     """Precompute the dense operators for blocked execution.
 
@@ -199,7 +253,7 @@ def _blocked_operators(sos, block_size):
     return t_mat, g, w, al
 
 
-def _sosfilt_blocked_1ch(sos, x, s0, block_size, return_state):
+def _sosfilt_blocked_1ch(sos, x, s0, block_size, return_state, static_sos=None):
     n = x.shape[0]
     L = block_size
     nb = -(-n // L)
@@ -207,7 +261,12 @@ def _sosfilt_blocked_1ch(sos, x, s0, block_size, return_state):
     xp = jnp.pad(x, (0, pad))
     xb = xp.reshape(nb, L)
 
-    t_mat, g, w, al = _blocked_operators(sos, L)
+    if static_sos is not None:
+        ops = _blocked_operators_static(
+            static_sos.astype("float64").tobytes(), static_sos.shape[0], L)
+        t_mat, g, w, al = [jnp.asarray(o, x.dtype) for o in ops]
+    else:
+        t_mat, g, w, al = _blocked_operators(sos, L)
     s_dim = al.shape[0]
 
     y0 = jnp.dot(xb, t_mat, precision=_HIGHEST)  # (B, L) zero-state outputs
@@ -256,6 +315,12 @@ def sosfilt_blocked(sos, x, zi=None, block_size=512, return_state=True):
     if squeeze:
         x = x[:, None]
     n, c = x.shape
+    # static (non-traced) coefficients → float64 host operator precompute
+    static_sos = None
+    if isinstance(sos, np.ndarray):
+        static_sos = np.asarray(sos, np.float64)
+    elif isinstance(sos, jax.Array) and not isinstance(sos, jax.core.Tracer):
+        static_sos = np.asarray(sos, np.float64)
     sos = _as_sos(sos, x.dtype)
     k = sos.shape[0]
     if zi is None:
@@ -268,7 +333,8 @@ def sosfilt_blocked(sos, x, zi=None, block_size=512, return_state=True):
 
     run = functools.partial(_sosfilt_blocked_1ch, sos,
                             block_size=min(block_size, max(8, n)),
-                            return_state=return_state)
+                            return_state=return_state,
+                            static_sos=static_sos)
     y_t, s_t = jax.vmap(run, in_axes=(1, 1), out_axes=(1, 1))(x, s0)
     zf = state_to_zi(s_t, k)
     if squeeze:

@@ -91,8 +91,10 @@ def block_cell_energies(x, sample_rate, zi=None, filter_method="auto"):
     if squeeze:
         x = x[:, None]
     cell, _ = _gating_geometry(sample_rate)
-    sos = jnp.asarray(kweight_sos(sample_rate), dtype=x.dtype)
-    kx, zf = iir.sosfilt(sos, x, zi=zi, method=filter_method)
+    # pass float64 numpy coefficients: static-SOS blocked execution then
+    # precomputes its operators in float64 host-side (accuracy-critical for
+    # the near-unit-circle K-weighting poles in float32 runs)
+    kx, zf = iir.sosfilt(kweight_sos(sample_rate), x, zi=zi, method=filter_method)
     n_cells = x.shape[0] // cell
     z = kx[: n_cells * cell] ** 2
     cell_ms = z.reshape(n_cells, cell, x.shape[1]).mean(axis=1)

@@ -52,8 +52,6 @@ def crossover_split(x, sample_rate, variant="worker", low_crossover=250.0,
     states) for chunked streaming.  Returns ``(bands, zf)``.
     """
     lp_sos, hp_sos = _crossover_sos(sample_rate, low_crossover, high_crossover)
-    lp_sos = jnp.asarray(lp_sos, x.dtype)
-    hp_sos = jnp.asarray(hp_sos, x.dtype)
     zi = zi or {}
     run = functools.partial(iir.sosfilt, method=filter_method)
 
@@ -65,10 +63,8 @@ def crossover_split(x, sample_rate, variant="worker", low_crossover=250.0,
     elif variant == "legacy":
         low, z_lp = run(lp_sos, x, zi.get("lp"))
         high, z_hp = run(hp_sos, x, zi.get("hp"))
-        hp_low = jnp.asarray(
-            butter_sos(4, low_crossover, "highpass", fs=sample_rate), x.dtype)
-        lp_high = jnp.asarray(
-            butter_sos(4, high_crossover, "lowpass", fs=sample_rate), x.dtype)
+        hp_low = butter_sos(4, low_crossover, "highpass", fs=sample_rate)
+        lp_high = butter_sos(4, high_crossover, "lowpass", fs=sample_rate)
         mid1, z_m1 = run(hp_low, x, zi.get("mid_hp"))
         mid, z_m2 = run(lp_high, mid1, zi.get("mid_lp"))
         zf = {"lp": z_lp, "hp": z_hp, "mid_hp": z_m1, "mid_lp": z_m2}
