@@ -90,15 +90,18 @@ def cmd_batch(args):
 
 def cmd_measure(args):
     from python_audio_mastering_tpu.io import wavio
-    from python_audio_mastering_tpu.ops import loudness
+    from python_audio_mastering_tpu.ops import loudness, meters
 
     audio, fs = wavio.read_audio(args.input)
     lufs = float(loudness.integrated_loudness(audio, fs))
     mono = float(loudness.integrated_loudness(audio, fs,
                                               downmix="reference_mono_mean"))
     peak = float(abs(audio).max())
+    tp = float(meters.true_peak_db(audio, fs))
+    lra = float(meters.loudness_range(audio, fs))
     print(f"{args.input}: {lufs:.2f} LUFS (BS.1770 stereo), "
-          f"{mono:.2f} LUFS (mono-mean), peak {peak:.4f}")
+          f"{mono:.2f} LUFS (mono-mean), LRA {lra:.1f} LU, "
+          f"sample peak {peak:.4f}, true peak {tp:.2f} dBTP")
     return 0
 
 

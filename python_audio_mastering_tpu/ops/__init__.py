@@ -34,3 +34,9 @@ from python_audio_mastering_tpu.ops.loudness import (
 )
 from python_audio_mastering_tpu.ops.compressor import compress_dynamic_range
 from python_audio_mastering_tpu.ops.multiband import multiband_compress, crossover_split
+from python_audio_mastering_tpu.ops.meters import (
+    momentary_loudness,
+    shortterm_loudness,
+    loudness_range,
+    true_peak_db,
+)
