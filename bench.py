@@ -146,9 +146,22 @@ def main():
         t0 = time.perf_counter()
         outs, _ = pbatch.master_album_streamed(tracks, params, cfg, mesh=mesh1)
         wall = time.perf_counter() - t0
+        # host↔device link calibration: this environment tunnels the TPU, so
+        # album jobs are transfer-bound; report the link so compute time is
+        # separable (on a real TPU host PCIe makes the transfer negligible)
+        blob = np.zeros((64 << 20) // 4, np.float32)
+        t0 = time.perf_counter()
+        _sync(jax.device_put(blob))
+        put_gbps = (64 / 1024) / (time.perf_counter() - t0)
+        album_bytes = sum(t.nbytes for t in tracks)
+        est_transfer = 2 * album_bytes / (put_gbps * (1 << 30))
         details["configs"]["album_12x5min_streamed"] = {
             "wall_s": wall, "first_call_s": compile_and_run,
-            "rtf": 12 * 300.0 / wall}
+            "rtf": 12 * 300.0 / wall,
+            "host_device_link_GBps": round(put_gbps, 4),
+            "est_transfer_s": round(est_transfer, 1),
+            "est_compute_rtf": round(12 * 300.0 / max(wall - est_transfer,
+                                                      1e-3), 1)}
 
         with open(os.path.join(os.path.dirname(__file__), "BENCH_DETAILS.json"),
                   "w") as f:
