@@ -18,12 +18,9 @@ biquads) — here applied to the mastering chain's own parameter space.
 from __future__ import annotations
 
 import dataclasses
-import functools
-from typing import Any
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 import optax
 
 from python_audio_mastering_tpu.config import ChainConfig, MasteringParams

@@ -12,20 +12,20 @@ per-frame loop — the slowest hot loop in the reference system.  Its contract:
     else:                               att = max(att - max_att/release_frames, 0)
   Note the quirk this inherits from pydub: below threshold ``max_att == 0``
   so the decrement is 0 — attenuation *freezes* rather than releasing.  We
-  replicate it (it is the sound of the reference); ``release_mode="smooth"``
-  offers a fixed-rate release as a quality option.
+  replicate it: it is the sound of the reference (and the structural fact
+  the fast paths exploit: ``above ⇔ max_att > 0`` and inc/dec are
+  ``max_att`` times constant per-band rates).
 * output: ``y = x * 10^(-att/20)``.
 
 TPU decomposition: the detector and gain computer are fully parallel
-(log-depth cumsum + elementwise); only the ballistics recurrence is
-sequential.  We run it as a ``lax.scan`` over *control frames* (``hop``
-frames per step; ``hop=1`` is exact) optionally **block-parallel with
-overlap warm-up** (``block_ctrl``): blocks of the control signal are scanned
-concurrently via ``vmap``, each warmed up over ``overlap_ctrl`` preceding
-control frames from a zero state.  The clamps to ``[0, max_att]`` make the
-recurrence rapidly forget its initial condition, so a modest overlap gives
-sub-0.01 dB agreement with the exact scan (tested) at a fraction of the
-sequential depth.
+(log-depth cumsum + strided prefix-sum slices); only the ballistics
+recurrence is sequential.  Three executions, all sharing the pydub
+contract: the exact ``lax.scan`` (per *control frame*: ``hop`` samples per
+step, hop=1 exact), the **block-parallel** approximation (blocks scanned
+concurrently under ``vmap``, warm-started by an exact-at-freeze coarse
+pre-scan and refined over ``overlap_ctrl`` frames of context), and the
+exact single-pass Pallas kernel in ``ops.pallas_kernels`` (the TPU
+default).
 
 The float pipeline intentionally skips the reference's int16 round-trip
 between stages (engine:204-206) — quantization noise is not replicated.
@@ -33,7 +33,6 @@ between stages (engine:204-206) — quantization noise is not replicated.
 
 from __future__ import annotations
 
-import math
 
 import jax
 import jax.numpy as jnp

@@ -23,7 +23,7 @@ import os
 import traceback
 
 from python_audio_mastering_tpu import engine
-from python_audio_mastering_tpu.serving.http import App, json_response, text_response
+from python_audio_mastering_tpu.serving.http import App, text_response
 from python_audio_mastering_tpu.serving.jobqueue import decode_envelope
 from python_audio_mastering_tpu.serving.store import BlobStore, parse_uri
 
