@@ -155,13 +155,20 @@ def main():
         put_gbps = (64 / 1024) / (time.perf_counter() - t0)
         album_bytes = sum(t.nbytes for t in tracks)
         est_transfer = 2 * album_bytes / (put_gbps * (1 << 30))
-        details["configs"]["album_12x5min_streamed"] = {
+        entry = {
             "wall_s": wall, "first_call_s": compile_and_run,
             "rtf": 12 * 300.0 / wall,
             "host_device_link_GBps": round(put_gbps, 4),
-            "est_transfer_s": round(est_transfer, 1),
-            "est_compute_rtf": round(12 * 300.0 / max(wall - est_transfer,
-                                                      1e-3), 1)}
+        }
+        if est_transfer < 0.8 * wall:
+            entry["est_compute_rtf"] = round(
+                12 * 300.0 / (wall - est_transfer), 1)
+        else:
+            # the link estimate exceeds the measured wall (transfers overlap
+            # with compute and the single-blob probe overstates per-byte
+            # cost): the run is transfer-bound end to end on this link
+            entry["transfer_bound"] = True
+        details["configs"]["album_12x5min_streamed"] = entry
 
         with open(os.path.join(os.path.dirname(__file__), "BENCH_DETAILS.json"),
                   "w") as f:
