@@ -71,7 +71,11 @@ def cmd_master(args):
     from python_audio_mastering_tpu import engine
     from python_audio_mastering_tpu.io import wavio
 
-    _, fs = wavio.read_audio(args.input)
+    try:
+        _, fs = wavio.read_audio(args.input)
+    except (OSError, ValueError) as e:
+        print(f"ERROR: cannot read {args.input}: {e}")
+        return 1
     settings = _settings_from_args(args)
     settings["input_file"] = args.input
     settings["output_file"] = args.output

@@ -1,0 +1,67 @@
+"""CLI surface tests (argument wiring, verbs, exit codes)."""
+
+import numpy as np
+import pytest
+
+from python_audio_mastering_tpu import cli
+from python_audio_mastering_tpu.io import wavio
+from tests.conftest import make_signal
+
+FS = 44100
+
+
+@pytest.fixture
+def in_wav(tmp_path):
+    path = str(tmp_path / "in.wav")
+    wavio.write_wav(path, (make_signal(FS // 2) * 0.4).astype(np.float32), FS)
+    return path
+
+
+def test_master_verb(tmp_path, in_wav, capsys):
+    out = str(tmp_path / "out.wav")
+    rc = cli.main(["master", in_wav, out, "--preset", "techno",
+                   "--saturation", "15", "--lufs", "-15", "--exact"])
+    assert rc == 0
+    y, fs = wavio.read_wav(out)
+    assert fs == FS and y.shape[1] == 2
+    assert "complete" in capsys.readouterr().out.lower()
+
+
+def test_master_no_lufs_and_multiband_flags(tmp_path, in_wav):
+    out = str(tmp_path / "o2.wav")
+    rc = cli.main(["master", in_wav, out, "--no-lufs", "--multiband",
+                   "--low-thresh", "-30", "--exact"])
+    assert rc == 0
+
+
+def test_measure_verb(in_wav, capsys):
+    rc = cli.main(["measure", in_wav])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "LUFS" in out and "dBTP" in out
+
+
+def test_batch_verb(tmp_path, in_wav, capsys):
+    import shutil
+
+    in_dir = tmp_path / "batchin"
+    in_dir.mkdir()
+    shutil.copy(in_wav, in_dir / "a.wav")
+    shutil.copy(in_wav, in_dir / "b.wav")
+    rc = cli.main(["batch", str(in_dir), str(tmp_path / "batchout"),
+                   "--preset", "pop", "--exact"])
+    assert rc == 0
+    assert sorted(p.name for p in (tmp_path / "batchout").iterdir()) == \
+        ["a_mastered.wav", "b_mastered.wav"]
+
+
+def test_batch_empty_folder_fails(tmp_path):
+    (tmp_path / "empty").mkdir()
+    rc = cli.main(["batch", str(tmp_path / "empty"), str(tmp_path / "o")])
+    assert rc == 1
+
+
+def test_missing_input_returns_error(tmp_path, capsys):
+    rc = cli.main(["master", str(tmp_path / "nope.wav"),
+                   str(tmp_path / "o.wav")])
+    assert rc == 1
