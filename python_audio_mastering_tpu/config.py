@@ -181,6 +181,11 @@ class ChainConfig:
     # Loudness measurement downmix: reference parity is mono-mean.
     measure_downmix: str = "reference_mono_mean"
     limiter_threshold: float = 0.98
+    # "reference": the engine's instantaneous soft knee (engine:224-227).
+    # "lookahead_truepeak": brickwall true-peak lookahead limiter
+    # (ops/limiter.py) — a quality upgrade; one-shot master() only (the
+    # streaming runner keeps the reference limiter).
+    limiter_mode: str = "reference"
 
     def jnp_dtype(self):
         return jnp.dtype(self.dtype)

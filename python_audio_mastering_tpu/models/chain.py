@@ -178,7 +178,11 @@ def master(audio, params: MasteringParams, config: ChainConfig,
         measured = jnp.asarray(jnp.nan, x.dtype)
         gain_db = jnp.zeros((), x.dtype)
 
-    if config.variant == "worker":
+    if config.limiter_mode == "lookahead_truepeak":
+        from python_audio_mastering_tpu.ops.limiter import lookahead_limiter
+
+        x = lookahead_limiter(x, config.sample_rate)
+    elif config.variant == "worker":
         x = limiter(x, threshold=config.limiter_threshold)
     else:
         x = limiter(x)
