@@ -192,8 +192,10 @@ class ChainConfig:
 
     @classmethod
     def tpu_default(cls, sample_rate=44100):
-        """Throughput defaults for real TPU runs (~0.03 dB rms ballistics
-        approximation; measured 865x realtime, full chain, 3-min track)."""
+        """Throughput defaults for real TPU runs: blocked MXU IIR + hop-8
+        detector decimation + the exact Pallas ballistics kernel
+        (~0.03 dB rms vs the bit-exact contract; measured 913x realtime,
+        full chain incl. multiband, 3-min track, TPU v5e)."""
         return cls(sample_rate=sample_rate, filter_method="blocked",
                    block_size=512, comp_hop=8, comp_block_ctrl=2048)
 
