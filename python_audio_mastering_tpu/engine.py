@@ -131,7 +131,9 @@ def process_audio_from_uri(uri: str, settings: dict,
     store = store or store_mod.get_store(f"{scheme}://{bucket}")
     print(f"Downloading file from {uri}...")
     blob = store.download(key)
-    audio, fs = wavio.read_wav(blob)
+    # any container ffmpeg handles, from the in-memory blob
+    # (worker/audio_mastering_engine.py:43); WAV decodes natively
+    audio, fs = wavio.decode_audio_bytes(blob, name_hint=key)
     print("Processing audio in chunks...")
     out = _run_chain(audio, fs, settings,
                      progress_cb=progress_cb or (lambda m: print(m)),

@@ -22,7 +22,8 @@ import subprocess
 import numpy as np
 
 __all__ = ["read_wav", "write_wav", "pcm_to_float", "float_to_pcm",
-           "read_audio", "write_audio"]
+           "read_audio", "write_audio", "decode_audio_bytes",
+           "encode_audio_bytes", "audio_content_type"]
 
 WAVE_FORMAT_PCM = 0x0001
 WAVE_FORMAT_IEEE_FLOAT = 0x0003
@@ -197,3 +198,83 @@ def write_audio(path, audio, sample_rate, sample_width=2):
     write_wav(buf, audio, sample_rate, float_format=True)
     subprocess.run([ff, "-v", "error", "-y", "-f", "wav", "-i", "-", str(path)],
                    input=buf.getvalue(), check=True, capture_output=True)
+
+
+def decode_audio_bytes(data, name_hint: str = ""):
+    """Decode an in-memory audio blob → ``(float32 (N, C), rate)``.
+
+    The reference's cloud worker accepts any container ffmpeg can demux from
+    an in-memory buffer (``AudioSegment.from_file(in_mem_file)``,
+    worker/audio_mastering_engine.py:43).  Mirror that: RIFF/WAVE decodes
+    natively; anything else goes through an ffmpeg stdin pipe, falling back
+    to a temp file for containers that cannot be demuxed from a pipe
+    (``name_hint`` supplies the extension ffmpeg uses to pick the demuxer).
+    """
+    if not isinstance(data, (bytes, bytearray)):
+        data = data.read()
+    data = bytes(data)
+    if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+        return read_wav(data)
+    ff = _ffmpeg()
+    if not ff:
+        raise RuntimeError(
+            "cannot decode non-WAV audio without ffmpeg on PATH "
+            "(WAV is native)")
+    try:
+        out = subprocess.run(
+            [ff, "-v", "error", "-i", "-", "-f", "wav", "-acodec",
+             "pcm_f32le", "-"],
+            input=data, check=True, capture_output=True).stdout
+        return read_wav(out)
+    except (subprocess.CalledProcessError, ValueError):
+        import tempfile
+
+        ext = os.path.splitext(str(name_hint))[1] or ".bin"
+        fd, tmp = tempfile.mkstemp(suffix=ext)
+        try:
+            with os.fdopen(fd, "wb") as f:
+                f.write(data)
+            return read_audio(tmp)
+        finally:
+            os.unlink(tmp)
+
+
+def encode_audio_bytes(audio, sample_rate, fmt: str = "wav",
+                       sample_width: int = 2) -> bytes:
+    """Encode float audio → container bytes in format ``fmt``.
+
+    The monolith variant exports in the *source* container format
+    (main.py:74-75: ``output_format = splitext(...)``, ``export(...,
+    format=output_format)``).  WAV encodes natively; other formats
+    round-trip through ffmpeg via a temp file (the muxer is chosen from the
+    file extension, which is the most portable ffmpeg invocation).
+    """
+    fmt = (fmt or "wav").lower().lstrip(".")
+    if fmt in ("wav", "wave"):
+        buf = io.BytesIO()
+        write_wav(buf, audio, sample_rate, sample_width=sample_width)
+        return buf.getvalue()
+    import tempfile
+
+    fd, tmp = tempfile.mkstemp(suffix="." + fmt)
+    os.close(fd)
+    try:
+        write_audio(tmp, audio, sample_rate, sample_width=sample_width)
+        with open(tmp, "rb") as f:
+            return f.read()
+    finally:
+        os.unlink(tmp)
+
+
+_CONTENT_TYPES = {
+    "wav": "audio/wav", "wave": "audio/wav", "mp3": "audio/mpeg",
+    "flac": "audio/flac", "aiff": "audio/aiff", "aif": "audio/aiff",
+    "ogg": "audio/ogg", "opus": "audio/opus", "m4a": "audio/mp4",
+    "mp4": "audio/mp4", "wma": "audio/x-ms-wma",
+}
+
+
+def audio_content_type(fmt: str) -> str:
+    """MIME type for an audio container name/extension."""
+    return _CONTENT_TYPES.get((fmt or "").lower().lstrip("."),
+                              "application/octet-stream")

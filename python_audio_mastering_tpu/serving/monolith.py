@@ -15,7 +15,6 @@ honours.
 
 from __future__ import annotations
 
-import io
 import os
 
 from python_audio_mastering_tpu.config import ChainConfig, MasteringParams
@@ -39,14 +38,15 @@ def run_legacy_job(store: BlobStore, file_name: str, settings: dict,
                    config: ChainConfig | None = None) -> str:
     """Process one legacy-schema job; returns the output key."""
     blob = store.download(file_name)
-    audio, fs = wavio.read_wav(blob)
+    audio, fs = wavio.decode_audio_bytes(blob, name_hint=file_name)
     params = MasteringParams.from_settings(settings)
     out, _, _ = master_streamed(audio, params, config or legacy_config(fs))
     output_key = f"processed/{os.path.basename(file_name)}"
-    buf = io.BytesIO()
-    # native path keeps WAV; other formats would round-trip via ffmpeg
-    wavio.write_wav(buf, out, fs)
-    store.upload(output_key, buf.getvalue(), content_type="audio/wav")
+    # export in the original container format (main.py:74-75)
+    fmt = os.path.splitext(file_name)[1].lstrip(".") or "wav"
+    payload = wavio.encode_audio_bytes(out, fs, fmt)
+    store.upload(output_key, payload,
+                 content_type=wavio.audio_content_type(fmt))
     store.upload(f"{output_key}.complete", b"done")
     return output_key
 
