@@ -89,9 +89,17 @@ def make_album_fn(config: ChainConfig, mesh=None):
     return fn
 
 
+def _tiny_readback(x):
+    """Reliable completion barrier on the tunneled-TPU platform (where
+    block_until_ready can return early): a one-element host readback."""
+    leaf = jax.tree.leaves(x)[0]
+    np.asarray(leaf[tuple(slice(0, 1) for _ in leaf.shape)])
+
+
 def master_album_streamed(tracks: Sequence[np.ndarray], params,
                           config: ChainConfig, mesh=None,
-                          chunk_seconds: float = 30.0, progress_cb=None):
+                          chunk_seconds: float = 30.0, progress_cb=None,
+                          transfer: str = "float32", timings: dict | None = None):
     """Album mastering, batched over tracks AND chunked over time.
 
     The production path for long albums: device memory is bounded by
@@ -100,14 +108,25 @@ def master_album_streamed(tracks: Sequence[np.ndarray], params,
     energies with valid-length masks, and the tracks axis shards over the
     mesh.  This is BASELINE config 5 ("batched album, chunked
     double-buffered streaming with progress callbacks").
+
+    ``transfer="pcm16"`` ships int16 PCM over the host↔device link (on-
+    device de/requantize; half the float32 bytes each way — the win when
+    the link, not the chip, bounds album throughput).  ``timings``: pass a
+    dict to receive an h2d/compute/d2h wall-time breakdown (adds sync
+    barriers between phases, so end-to-end overlap is measured separately
+    by calling without it).
     """
     import dataclasses as _dc
+    import time as _time
 
     from python_audio_mastering_tpu.ops import loudness as loud
     from python_audio_mastering_tpu.parallel import streaming as strm
     from python_audio_mastering_tpu.ops.waveshaper import (
         soft_limiter, soft_limiter_legacy)
 
+    if transfer not in ("float32", "pcm16"):
+        raise ValueError(f"unknown transfer format {transfer!r}")
+    pcm16 = transfer == "pcm16"
     config = _dc.replace(
         config, comp_ballistics="blocked" if config.comp_block_ctrl else "scan")
     batch, lengths = pad_tracks(tracks)
@@ -139,19 +158,25 @@ def master_album_streamed(tracks: Sequence[np.ndarray], params,
     processed = []
     cells_list = []
 
+    def to_wire(arr):
+        return strm.quantize_pcm16(arr) if pcm16 \
+            else jnp.asarray(arr, dtype=dtype)
+
     # Keep the (small relative to HBM) input batch device-resident and slice
     # chunks on-device: chunking bounds the *intermediates*, and host↔device
     # transfers happen once per album, not once per chunk.  Fall back to
     # host-streamed chunks only when the padded batch itself is too big.
     n_padded = num_chunks * chunk_frames
-    batch_bytes = batch.shape[0] * n_padded * batch.shape[2] * dtype.itemsize
+    wire_itemsize = 2 if pcm16 else dtype.itemsize
+    batch_bytes = batch.shape[0] * n_padded * batch.shape[2] * wire_itemsize
     device_resident = batch_bytes <= 4 << 30
+    t_start = _time.perf_counter()
     if device_resident:
         pad = n_padded - batch.shape[1]
         whole = np.concatenate(
             [batch, np.zeros((batch.shape[0], pad, batch.shape[2]),
                              batch.dtype)], axis=1) if pad else batch
-        x_dev = jax.device_put(jnp.asarray(whole, dtype=dtype), sharding)
+        x_dev = jax.device_put(to_wire(whole), sharding)
 
         def chunk_at(i):
             return jax.lax.slice_in_dim(x_dev, i * chunk_frames,
@@ -165,7 +190,13 @@ def master_album_streamed(tracks: Sequence[np.ndarray], params,
                     [c_arr, np.zeros((c_arr.shape[0],
                                       chunk_frames - c_arr.shape[1],
                                       c_arr.shape[2]), c_arr.dtype)], axis=1)
-            return jax.device_put(jnp.asarray(c_arr, dtype=dtype), sharding)
+            return jax.device_put(to_wire(c_arr), sharding)
+
+    if timings is not None and device_resident:
+        _tiny_readback(x_dev)  # barrier: isolate the h2d upload time
+        timings["h2d_s"] = _time.perf_counter() - t_start
+        timings["wire_bytes_in"] = batch_bytes
+        t_start = _time.perf_counter()
 
     next_dev = chunk_at(0)
     for i in range(num_chunks):
@@ -201,16 +232,30 @@ def master_album_streamed(tracks: Sequence[np.ndarray], params,
 
     limiter = soft_limiter if config.variant == "worker" else soft_limiter_legacy
 
-    @jax.jit
-    def finalize(chunk, g):
-        return limiter(chunk * g[:, None, None], threshold=config.limiter_threshold)
+    @functools.partial(jax.jit, static_argnames=("emit_i16",))
+    def finalize(chunk, g, emit_i16=False):
+        y = limiter(chunk * g[:, None, None],
+                    threshold=config.limiter_threshold)
+        if emit_i16:
+            return jnp.clip(jnp.round(y * strm.PCM16_SCALE),
+                            -32768.0, 32767.0).astype(jnp.int16)
+        return y
 
-    finalized = [finalize(y, gains) for y in processed]
+    finalized = [finalize(y, gains, emit_i16=pcm16) for y in processed]
+    if timings is not None:
+        _tiny_readback(finalized[-1])  # barrier: isolate device compute time
+        timings["compute_s"] = _time.perf_counter() - t_start
+        t_start = _time.perf_counter()
     if device_resident:
         # one device-side concat, ONE host transfer for the whole album
         out = np.asarray(jnp.concatenate(finalized, axis=1))[:, :n]
     else:
         out = np.concatenate([np.asarray(y) for y in finalized], axis=1)[:, :n]
+    if timings is not None:
+        timings["d2h_s"] = _time.perf_counter() - t_start
+        timings["wire_bytes_out"] = out.nbytes
+    if pcm16:
+        out = out.astype(np.float32) / strm.PCM16_SCALE
     return ([out[i, : int(lengths[i])] for i in range(len(tracks))],
             np.asarray(measured)[: len(tracks)])
 

@@ -18,6 +18,13 @@ file instead, engine:82-88).
 Host→device overlap: chunk ``i+1`` is ``device_put`` while chunk ``i``
 computes (JAX async dispatch gives the double-buffering; nothing blocks
 until the host reads a result back).
+
+Transfer format: ``transfer="pcm16"`` ships int16 PCM over the host↔device
+link and dequantizes on-device (and symmetrically requantizes before
+readback) — half the bytes of float32 in each direction.  Audio almost
+always *originates* as ≤16-bit PCM and is exported at 16 bits (the
+reference hardcodes int16 out, engine:125), so the quantization step adds
+nothing beyond the format's own -96 dBFS floor.
 """
 
 from __future__ import annotations
@@ -44,7 +51,8 @@ from python_audio_mastering_tpu.ops.waveshaper import (
     soft_limiter_legacy,
 )
 
-__all__ = ["master_streamed", "StreamState", "default_chunk_frames"]
+__all__ = ["master_streamed", "StreamState", "default_chunk_frames",
+           "quantize_pcm16", "PCM16_SCALE"]
 
 
 @dataclasses.dataclass
@@ -74,10 +82,21 @@ def default_chunk_frames(config: ChainConfig, seconds: float = 30.0) -> int:
     return max(align, (frames // align) * align)
 
 
+PCM16_SCALE = 32767.0  # symmetric round-trip scale for pcm16 transfers
+
+
+def quantize_pcm16(x: np.ndarray) -> np.ndarray:
+    """Host-side float → int16 for the device link (symmetric scale)."""
+    return np.round(np.clip(x, -1.0, 1.0) * PCM16_SCALE).astype(np.int16)
+
+
 def _fx_chunk(chunk, params, config: ChainConfig, state: StreamState,
               first: bool, variant_mb: str):
     """Effects chain on one chunk with carried state + loudness cells."""
     x = chunk
+    if jnp.issubdtype(x.dtype, jnp.integer):
+        # pcm16 transfer path: dequantize on-device (first op fuses away)
+        x = x.astype(config.jnp_dtype()) / PCM16_SCALE
     if config.variant == "worker":
         x = saturate(x, params.saturation)
     else:
@@ -105,11 +124,18 @@ def _fx_chunk(chunk, params, config: ChainConfig, state: StreamState,
     return x, StreamState(eq_zi=eq_zi, mb=mb_state, kw_zi=kw_zi), cells
 
 
-def _finalize_chunk(chunk, gain, config: ChainConfig):
+def _finalize_chunk(chunk, gain, config: ChainConfig, emit_i16: bool = False):
     x = chunk * gain
     if config.variant == "worker":
-        return soft_limiter(x, threshold=config.limiter_threshold)
-    return soft_limiter_legacy(x, threshold=config.limiter_threshold)
+        y = soft_limiter(x, threshold=config.limiter_threshold)
+    else:
+        y = soft_limiter_legacy(x, threshold=config.limiter_threshold)
+    if emit_i16:
+        # pcm16 transfer path: requantize on-device so the readback ships
+        # half the bytes (the limiter already bounds |y| near 1)
+        return jnp.clip(jnp.round(y * PCM16_SCALE),
+                        -32768.0, 32767.0).astype(jnp.int16)
+    return y
 
 
 def _ckpt_path(checkpoint_dir, i):
@@ -152,13 +178,15 @@ def _compiled(config: ChainConfig):
     fx = jax.jit(functools.partial(_fx_chunk, config=config,
                                    variant_mb=config.variant),
                  static_argnames=("first",))
-    fin = jax.jit(functools.partial(_finalize_chunk, config=config))
+    fin = jax.jit(functools.partial(_finalize_chunk, config=config),
+                  static_argnames=("emit_i16",))
     return fx, fin
 
 
 def master_streamed(audio, params: MasteringParams, config: ChainConfig,
                     chunk_seconds: float = 30.0, progress_cb=None,
-                    carry_state: bool = True, checkpoint_dir: str | None = None):
+                    carry_state: bool = True, checkpoint_dir: str | None = None,
+                    transfer: str = "float32"):
     """Master arbitrarily long audio in constant device memory.
 
     Args:
@@ -174,9 +202,15 @@ def master_streamed(audio, params: MasteringParams, config: ChainConfig,
         ``chunk_NNNN.npz``; an interrupted job re-run with the same
         directory resumes at the first missing chunk instead of from zero
         (the reference restarts whole jobs, SURVEY.md §5).
+      transfer: ``"float32"`` (default) or ``"pcm16"`` — int16 PCM over the
+        host↔device link with on-device de/requantization (half the bytes
+        each way; for slow links, e.g. a tunneled chip).
 
     Returns ``(audio_out (N, C) np.float32, measured_lufs, gain_db)``.
     """
+    if transfer not in ("float32", "pcm16"):
+        raise ValueError(f"unknown transfer format {transfer!r}")
+    pcm16 = transfer == "pcm16"
     dtype = config.jnp_dtype()
     squeeze = audio.ndim == 1
     if squeeze:
@@ -187,18 +221,22 @@ def master_streamed(audio, params: MasteringParams, config: ChainConfig,
 
     fx, fin = _compiled(config)
 
+    def to_wire(arr):
+        return quantize_pcm16(arr) if pcm16 else jnp.asarray(arr, dtype=dtype)
+
     # Device-resident input when it fits comfortably (one transfer per file,
     # chunks sliced on-device); host-streamed chunks for larger-than-HBM
     # files (np.memmap inputs stay on the host path).
     n_padded = num_chunks * chunk_frames
+    wire_itemsize = 2 if pcm16 else dtype.itemsize
     device_resident = (not isinstance(audio, np.memmap)
-                       and n_padded * c * dtype.itemsize <= 4 << 30)
+                       and n_padded * c * wire_itemsize <= 4 << 30)
     if device_resident:
         whole = np.asarray(audio)
         if n_padded > n:
             whole = np.concatenate(
                 [whole, np.zeros((n_padded - n, c), whole.dtype)])
-        x_dev = jax.device_put(jnp.asarray(whole, dtype=dtype))
+        x_dev = jax.device_put(to_wire(whole))
 
         def chunk_at(i):
             return jax.lax.slice_in_dim(x_dev, i * chunk_frames,
@@ -213,7 +251,7 @@ def master_streamed(audio, params: MasteringParams, config: ChainConfig,
                 c_arr = np.concatenate(
                     [c_arr, np.zeros((chunk_frames - c_arr.shape[0], c),
                                      c_arr.dtype)])
-            return jax.device_put(jnp.asarray(c_arr, dtype=dtype))
+            return jax.device_put(to_wire(c_arr))
 
     state = StreamState()
     processed = []
@@ -257,7 +295,7 @@ def master_streamed(audio, params: MasteringParams, config: ChainConfig,
 
     finalized = []
     for i, y in enumerate(processed):
-        finalized.append(fin(y, gain))
+        finalized.append(fin(y, gain, emit_i16=pcm16))
         if progress_cb:
             progress_cb(f"Finalizing chunk {i + 1}/{num_chunks}...")
 
@@ -265,6 +303,8 @@ def master_streamed(audio, params: MasteringParams, config: ChainConfig,
         out = np.asarray(jnp.concatenate(finalized, axis=0))[:n]
     else:
         out = np.concatenate([np.asarray(y) for y in finalized], axis=0)[:n]
+    if pcm16:
+        out = out.astype(np.float32) / PCM16_SCALE
     if squeeze:
         out = out[:, 0]
     gain_db = 20.0 * float(np.log10(float(gain)))

@@ -80,3 +80,29 @@ def test_album_streamed_matches_per_track_streamed():
                                                     chunk_seconds=0.5)
         np.testing.assert_allclose(outs[i], solo, rtol=0, atol=1e-10)
         assert abs(float(measured[i]) - m_solo) < 1e-9
+
+
+def test_album_streamed_pcm16_and_timings():
+    """pcm16 link format matches float32 within the PCM16 noise floor and
+    the timings breakdown accounts for h2d/compute/d2h."""
+    cfg = ChainConfig(sample_rate=FS, dtype="float32")
+    tracks = [make_signal(int(FS * 1.2), seed=i) * 0.4 for i in range(4)]
+    params = MasteringParams.from_settings(
+        {"saturation": 10, "preset": "pop", "lufs": -14.0, "multiband": True})
+    outs_f, meas_f = pbatch.master_album_streamed(tracks, params, cfg,
+                                                  chunk_seconds=0.5)
+    tm = {}
+    outs_p, meas_p = pbatch.master_album_streamed(tracks, params, cfg,
+                                                  chunk_seconds=0.5,
+                                                  transfer="pcm16", timings=tm)
+    for a, b in zip(outs_f, outs_p):
+        assert np.max(np.abs(a - b)) < 3e-3
+    np.testing.assert_allclose(meas_p, meas_f, atol=0.01)
+    assert tm["h2d_s"] > 0 and tm["compute_s"] > 0 and tm["d2h_s"] > 0
+    # the wire carries int16: exactly 2 bytes/sample on the padded batch
+    from python_audio_mastering_tpu.parallel import streaming as pstream
+
+    cf = pstream.default_chunk_frames(cfg, 0.5)
+    n_pad = -(-tracks[0].shape[0] // cf) * cf
+    t_pad = pmesh.make_mesh().devices.size  # tracks padded to a device multiple
+    assert tm["wire_bytes_in"] == t_pad * n_pad * 2 * 2  # T×N_pad×C×int16

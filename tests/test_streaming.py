@@ -77,3 +77,26 @@ def test_reference_reset_mode_differs_at_boundaries():
     reset, _, _ = streaming.master_streamed(x, params, cfg, chunk_seconds=0.5,
                                             carry_state=False)
     assert np.max(np.abs(carried - reset)) > 1e-6
+
+
+def test_pcm16_transfer_matches_float32():
+    """int16-over-the-link mode: de/requantization adds only the PCM16
+    noise floor (~-96 dBFS, scaled by the chain gain)."""
+    x = make_signal(int(FS * 2.0), fs=FS) * 0.4
+    params = MasteringParams.from_settings(
+        {"saturation": 15, "preset": "pop", "lufs": -14.0, "multiband": True})
+    cfg = ChainConfig(sample_rate=FS, dtype="float32")
+    f32, m32, _ = streaming.master_streamed(x, params, cfg, chunk_seconds=0.5)
+    p16, m16, _ = streaming.master_streamed(x, params, cfg, chunk_seconds=0.5,
+                                            transfer="pcm16")
+    assert np.max(np.abs(p16 - f32)) < 3e-3
+    assert np.sqrt(np.mean((p16 - f32) ** 2)) < 3e-4
+    assert abs(m16 - m32) < 0.01
+
+
+def test_unknown_transfer_format_rejected():
+    x = make_signal(4410, fs=FS) * 0.4
+    params = MasteringParams.from_settings({"lufs": -14.0})
+    cfg = ChainConfig(sample_rate=FS, dtype="float32")
+    with pytest.raises(ValueError, match="transfer"):
+        streaming.master_streamed(x, params, cfg, transfer="pcm12")
