@@ -53,8 +53,8 @@ def _moving_mean_square(x2_mean, look, hop=1):
     """
     n = x2_mean.shape[0]
     dt = x2_mean.dtype
-    csum = jnp.concatenate([jnp.zeros((1,), dt), jnp.cumsum(x2_mean)])
     if hop == 1:
+        csum = jnp.concatenate([jnp.zeros((1,), dt), jnp.cumsum(x2_mean)])
         hi = csum[:n]
         pad = min(look, n)
         lo = jnp.concatenate([jnp.zeros((pad,), dt), csum[: n - pad]])
@@ -62,7 +62,12 @@ def _moving_mean_square(x2_mean, look, hop=1):
         return hi - lo, cnt.astype(dt)
     look_eff = max(hop, -(-look // hop) * hop)
     t = -(-n // hop)
-    hi = csum[::hop][:t]
+    # Only hop-grid prefix values are consumed, so bucket x² into hop-sized
+    # bins first and cumsum T = N/hop partial sums instead of N samples —
+    # hop× less sequential-scan work and better f32 summation accuracy
+    # (two-stage summation), same values by partition.
+    xb = jnp.pad(x2_mean, (0, t * hop - n)).reshape(t, hop).sum(axis=1)
+    hi = jnp.concatenate([jnp.zeros((1,), dt), jnp.cumsum(xb)])[:t]
     pad = min(look_eff // hop, t)
     lo = jnp.concatenate([jnp.zeros((pad,), dt), hi[: t - pad]])
     cnt = jnp.minimum(jnp.arange(t) * hop, look_eff).clip(1)

@@ -65,7 +65,12 @@ def shortterm_loudness(x, sample_rate, downmix="bs1770"):
 
 def loudness_range(x, sample_rate):
     """EBU R128 loudness range (LU), from gated short-term percentiles."""
-    st = shortterm_loudness(x, sample_rate)
+    return lra_from_shortterm(shortterm_loudness(x, sample_rate))
+
+
+def lra_from_shortterm(st):
+    """LRA from a precomputed short-term loudness series (streaming path:
+    the series comes from accumulated 100 ms cells, no second signal pass)."""
     if st.shape[0] == 0:
         return jnp.asarray(jnp.nan)
     abs_mask = st > -70.0

@@ -124,6 +124,39 @@ def _fx_chunk(chunk, params, config: ChainConfig, state: StreamState,
     return x, StreamState(eq_zi=eq_zi, mb=mb_state, kw_zi=kw_zi), cells
 
 
+def _finalize_lookahead(chunk, gain, lstate, config: ChainConfig,
+                        flush: bool = False, emit_i16: bool = False):
+    """Pass-B step for quality mode: gain → streamed lookahead limiter.
+
+    The limiter's delay-line/release state is carried in ``lstate`` (see
+    ops.limiter.lookahead_limiter_chunk); emissions lag input by the
+    pending-buffer depth and drain on the ``flush`` call.
+    """
+    from python_audio_mastering_tpu.ops import limiter as lim
+
+    y = None if chunk is None else chunk * gain
+    out, new_state = lim.lookahead_limiter_chunk(
+        y, lstate, config.sample_rate, flush=flush)
+    if emit_i16:
+        out = jnp.clip(jnp.round(out * PCM16_SCALE),
+                       -32768.0, 32767.0).astype(jnp.int16)
+    return out, new_state
+
+
+def _tp_chunk(tail, chunk, config: ChainConfig):
+    """Streaming true-peak step: chunk (+ carried boundary tail) → scalar
+    max true peak and the next tail.  int16 (pcm16) chunks are dequantized
+    first — the quantized samples ARE the output, so this is the honest
+    measurement."""
+    from python_audio_mastering_tpu.ops.meters import true_peak_linear
+
+    x = chunk
+    if jnp.issubdtype(x.dtype, jnp.integer):
+        x = x.astype(config.jnp_dtype()) / PCM16_SCALE
+    ext = jnp.concatenate([tail, x], axis=0)
+    return true_peak_linear(ext), ext[-tail.shape[0]:]
+
+
 def _finalize_chunk(chunk, gain, config: ChainConfig, emit_i16: bool = False):
     x = chunk * gain
     if config.variant == "worker":
@@ -180,13 +213,16 @@ def _compiled(config: ChainConfig):
                  static_argnames=("first",))
     fin = jax.jit(functools.partial(_finalize_chunk, config=config),
                   static_argnames=("emit_i16",))
-    return fx, fin
+    fin_la = jax.jit(functools.partial(_finalize_lookahead, config=config),
+                     static_argnames=("flush", "emit_i16"))
+    tp = jax.jit(functools.partial(_tp_chunk, config=config))
+    return fx, fin, fin_la, tp
 
 
 def master_streamed(audio, params: MasteringParams, config: ChainConfig,
                     chunk_seconds: float = 30.0, progress_cb=None,
                     carry_state: bool = True, checkpoint_dir: str | None = None,
-                    transfer: str = "float32"):
+                    transfer: str = "float32", return_meters: bool = False):
     """Master arbitrarily long audio in constant device memory.
 
     Args:
@@ -205,8 +241,17 @@ def master_streamed(audio, params: MasteringParams, config: ChainConfig,
       transfer: ``"float32"`` (default) or ``"pcm16"`` — int16 PCM over the
         host↔device link with on-device de/requantization (half the bytes
         each way; for slow links, e.g. a tunneled chip).
+      return_meters: also return the R128 meter family, streamed from the
+        accumulated 100 ms cells (momentary/short-term series, LRA) plus
+        the output true peak (chunked with carried boundary tails) — no
+        second pass over the audio.
 
-    Returns ``(audio_out (N, C) np.float32, measured_lufs, gain_db)``.
+    Returns ``(audio_out (N, C) np.float32, measured_lufs, gain_db)``, plus
+    a meters dict when ``return_meters``.
+
+    Quality mode: ``config.limiter_mode="lookahead_truepeak"`` streams too —
+    the limiter's delay-line + release state is carried across chunks
+    (ops.limiter.lookahead_limiter_chunk), matching the one-shot master().
     """
     if transfer not in ("float32", "pcm16"):
         raise ValueError(f"unknown transfer format {transfer!r}")
@@ -219,7 +264,7 @@ def master_streamed(audio, params: MasteringParams, config: ChainConfig,
     chunk_frames = default_chunk_frames(config, chunk_seconds)
     num_chunks = max(1, -(-n // chunk_frames))
 
-    fx, fin = _compiled(config)
+    fx, fin, fin_la, tp_fn = _compiled(config)
 
     def to_wire(arr):
         return quantize_pcm16(arr) if pcm16 else jnp.asarray(arr, dtype=dtype)
@@ -279,12 +324,13 @@ def master_streamed(audio, params: MasteringParams, config: ChainConfig,
         if progress_cb:
             progress_cb(f"Processed chunk {i + 1}/{num_chunks}...")
 
+    cell_len = int(round(0.1 * config.sample_rate))
+    all_cells = jnp.concatenate(cell_list, axis=0) \
+        if (params.lufs_enabled or return_meters) else None
     if params.lufs_enabled:
         # cells across chunks concatenate into exactly the one-shot grid;
         # cells that are not fully inside the real n samples are masked
         # (the spec's complete-blocks-only rule, as in the one-shot path)
-        all_cells = jnp.concatenate(cell_list, axis=0)
-        cell_len = int(round(0.1 * config.sample_rate))
         mask = jnp.arange(all_cells.shape[0]) < (n // cell_len)
         measured = loud.loudness_from_cells(all_cells, cell_mask=mask)
         gain = 10.0 ** ((jnp.asarray(params.lufs, dtype) - measured) / 20.0)
@@ -294,10 +340,37 @@ def master_streamed(audio, params: MasteringParams, config: ChainConfig,
         gain = jnp.ones((), dtype)
 
     finalized = []
-    for i, y in enumerate(processed):
-        finalized.append(fin(y, gain, emit_i16=pcm16))
-        if progress_cb:
-            progress_cb(f"Finalizing chunk {i + 1}/{num_chunks}...")
+    if config.limiter_mode == "lookahead_truepeak":
+        from python_audio_mastering_tpu.ops import limiter as lim
+
+        # quality mode streams: carried delay-line/release limiter state;
+        # the padded tail is trimmed *before* the limiter so edge semantics
+        # match the one-shot master() exactly.
+        lstate = lim.lookahead_limiter_init(c, dtype)
+        rem = n - (num_chunks - 1) * chunk_frames
+        for i, y in enumerate(processed):
+            if i == num_chunks - 1 and rem < chunk_frames:
+                y = jax.lax.slice_in_dim(y, 0, rem, axis=0)
+            o, lstate = fin_la(y, gain, lstate, emit_i16=pcm16)
+            if o.shape[0]:
+                finalized.append(o)
+            if progress_cb:
+                progress_cb(f"Finalizing chunk {i + 1}/{num_chunks}...")
+        o, _ = fin_la(None, gain, lstate, flush=True, emit_i16=pcm16)
+        if o.shape[0]:
+            finalized.append(o)
+    else:
+        for i, y in enumerate(processed):
+            finalized.append(fin(y, gain, emit_i16=pcm16))
+            if progress_cb:
+                progress_cb(f"Finalizing chunk {i + 1}/{num_chunks}...")
+
+    tp_max = None
+    if return_meters:
+        tp_tail = jnp.zeros((32, c), dtype)
+        for f in finalized:
+            tpv, tp_tail = tp_fn(tp_tail, f)
+            tp_max = tpv if tp_max is None else jnp.maximum(tp_max, tpv)
 
     if device_resident:
         out = np.asarray(jnp.concatenate(finalized, axis=0))[:n]
@@ -308,4 +381,22 @@ def master_streamed(audio, params: MasteringParams, config: ChainConfig,
     if squeeze:
         out = out[:, 0]
     gain_db = 20.0 * float(np.log10(float(gain)))
-    return out, float(measured), gain_db
+    if not return_meters:
+        return out, float(measured), gain_db
+
+    from python_audio_mastering_tpu.ops import meters as met
+
+    # loudness series of the *normalized* signal: cell energies scale by
+    # gain² (meters sit before the brickwall, the standard metering point)
+    valid_cells = all_cells[: n // cell_len] * (gain ** 2)
+    mom = met._sliding_loudness(valid_cells, 4)
+    st = met._sliding_loudness(valid_cells, 30)
+    meters = {
+        "momentary_lufs": np.asarray(mom),
+        "short_term_lufs": np.asarray(st),
+        "lra_lu": float(met.lra_from_shortterm(st)),
+        "true_peak_dbtp": float(20.0 * np.log10(max(float(tp_max), 1e-12)))
+        if tp_max is not None else None,
+        "integrated_lufs": float(measured) + gain_db,
+    }
+    return out, float(measured), gain_db, meters

@@ -1,0 +1,187 @@
+"""Empirical sweep of ballistics-kernel formulations on the TPU.
+
+Diagnoses where the per-control-step cycles go: copy-only loop structure,
+lane extraction, update math, or output collection.  One process (single
+chip claim); prints JSON.
+"""
+
+import functools
+import json
+import time
+
+import numpy as np
+
+
+def _sync(out):
+    import jax
+
+    jax.block_until_ready(out)
+    np.asarray(out[tuple(slice(0, 1) for _ in out.shape)])
+
+
+def bench(fn, *args, reps=5):
+    out = fn(*args)
+    _sync(out)
+    best = np.inf
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        _sync(out)
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    SUB, LANES = 8, 128
+    T = 992256  # ~1M control steps (hop-8 on a 3-min track), 128-aligned
+    rng = np.random.default_rng(0)
+    m_host = np.abs(rng.standard_normal((SUB, T))).astype(np.float32) * 3
+    m = jnp.asarray(m_host)
+    ca = jnp.asarray(np.full((SUB, 1), 0.0181, np.float32))
+    cr = jnp.asarray(np.full((SUB, 1), 0.0009, np.float32))
+    att0 = jnp.zeros((SUB, 1), jnp.float32)
+
+    results = {}
+
+    def run_variant(name, kernel_body, tile=8192):
+        grid = (T // tile,)
+        spec = pl.BlockSpec((SUB, tile), lambda i: (0, i))
+        one = pl.BlockSpec((SUB, 1), lambda i: (0, 0))
+
+        def kern(m_ref, ca_ref, cr_ref, att0_ref, out_ref, final_ref,
+                 carry_ref):
+            step = pl.program_id(0)
+
+            @pl.when(step == 0)
+            def _():
+                carry_ref[:, :] = att0_ref[:, :]
+
+            att = kernel_body(m_ref, ca_ref[:, :], cr_ref[:, :], out_ref,
+                              carry_ref[:, :], tile)
+            carry_ref[:, :] = att
+
+            @pl.when(step == pl.num_programs(0) - 1)
+            def _():
+                final_ref[:, :] = att
+
+        @jax.jit
+        def go(m, ca, cr, att0):
+            out, final = pl.pallas_call(
+                kern, grid=grid,
+                in_specs=[spec, one, one, one], out_specs=[spec, one],
+                out_shape=[jax.ShapeDtypeStruct((SUB, T), m.dtype),
+                           jax.ShapeDtypeStruct((SUB, 1), m.dtype)],
+                scratch_shapes=[pltpu.VMEM((SUB, 1), m.dtype)],
+            )(m, ca, cr, att0)
+            return out
+
+        try:
+            results[name] = bench(go, m, ca, cr, att0)
+        except Exception as e:  # noqa: BLE001
+            results[name] = f"FAIL: {type(e).__name__}: {e}"[:200]
+
+    lanes_iota = None
+
+    # V0: copy-only (loop structure + collection cost floor)
+    def v0(m_ref, ca, cr, out_ref, att, tile):
+        def macro(k, att):
+            base = pl.multiple_of(k * LANES, LANES)
+            out_ref[:, pl.ds(base, LANES)] = m_ref[:, pl.ds(base, LANES)]
+            return att
+        return jax.lax.fori_loop(0, tile // LANES, macro, att)
+
+    # V1: current library version (extract + select collection)
+    def v1(m_ref, ca, cr, out_ref, att, tile):
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANES), 1)
+        def macro(k, att):
+            base = pl.multiple_of(k * LANES, LANES)
+            mv = m_ref[:, pl.ds(base, LANES)]
+            outs = jnp.zeros((SUB, LANES), m_ref.dtype)
+            for j in range(LANES):
+                m0 = mv[:, j:j + 1]
+                attack = jnp.minimum(att + m0 * ca, m0)
+                release = jnp.maximum(att - m0 * cr, 0.0)
+                att = jnp.where((m0 > 0.0) & (att <= m0), attack, release)
+                outs = jnp.where(lanes == j, att, outs)
+            out_ref[:, pl.ds(base, LANES)] = outs
+            return att
+        return jax.lax.fori_loop(0, tile // LANES, macro, att)
+
+    # V2: drop redundant m0>0 test; precompute inc/dec vectors per macro
+    def v2(m_ref, ca, cr, out_ref, att, tile):
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANES), 1)
+        def macro(k, att):
+            base = pl.multiple_of(k * LANES, LANES)
+            mv = m_ref[:, pl.ds(base, LANES)]
+            iv = mv * ca
+            dv = mv * cr
+            outs = jnp.zeros((SUB, LANES), m_ref.dtype)
+            for j in range(LANES):
+                m0 = mv[:, j:j + 1]
+                attack = jnp.minimum(att + iv[:, j:j + 1], m0)
+                release = jnp.maximum(att - dv[:, j:j + 1], 0.0)
+                att = jnp.where(att <= m0, attack, release)
+                outs = jnp.where(lanes == j, att, outs)
+            out_ref[:, pl.ds(base, LANES)] = outs
+            return att
+        return jax.lax.fori_loop(0, tile // LANES, macro, att)
+
+    # V3: replicated-att full-register update, static extract re-broadcast
+    def v3(m_ref, ca, cr, out_ref, att, tile):
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANES), 1)
+        def macro(k, att_n):  # att_n: (SUB,1)
+            base = pl.multiple_of(k * LANES, LANES)
+            mv = m_ref[:, pl.ds(base, LANES)]
+            iv = mv * ca
+            dv = mv * cr
+            outs = jnp.zeros((SUB, LANES), m_ref.dtype)
+            att_b = jnp.broadcast_to(att_n, (SUB, LANES))
+            for j in range(LANES):
+                cand = jnp.where(att_b <= mv,
+                                 jnp.minimum(att_b + iv, mv),
+                                 jnp.maximum(att_b - dv, 0.0))
+                cj = cand[:, j:j + 1]
+                outs = jnp.where(lanes == j, cj, outs)
+                att_b = jnp.broadcast_to(cj, (SUB, LANES))
+            out_ref[:, pl.ds(base, LANES)] = outs
+            return att_b[:, 0:1]
+        return jax.lax.fori_loop(0, tile // LANES, macro, att)
+
+    # V4: V2 with per-step dynamic store instead of select collection
+    def v4(m_ref, ca, cr, out_ref, att, tile):
+        def macro(k, att):
+            base = pl.multiple_of(k * LANES, LANES)
+            mv = m_ref[:, pl.ds(base, LANES)]
+            iv = mv * ca
+            dv = mv * cr
+            for j in range(LANES):
+                m0 = mv[:, j:j + 1]
+                attack = jnp.minimum(att + iv[:, j:j + 1], m0)
+                release = jnp.maximum(att - dv[:, j:j + 1], 0.0)
+                att = jnp.where(att <= m0, attack, release)
+                out_ref[:, pl.ds(base + j, 1)] = att
+            return att
+        return jax.lax.fori_loop(0, tile // LANES, macro, att)
+
+    run_variant("v0_copy_only", v0)
+    run_variant("v1_current", v1)
+    run_variant("v2_leaner_math", v2)
+    run_variant("v3_replicated", v3)
+    run_variant("v4_dynstore", v4)
+    run_variant("v2_tile4096", v2, tile=4096)
+    run_variant("v2_tile32768", v2, tile=32768)
+
+    # RPC baseline
+    f2 = jax.jit(lambda m: m * 2.0)
+    results["rpc_baseline"] = bench(f2, m)
+
+    print(json.dumps(results, indent=2))
+
+
+if __name__ == "__main__":
+    main()

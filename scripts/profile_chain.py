@@ -1,0 +1,129 @@
+"""Component-level wall-time profile of the mastering chain on the TPU.
+
+Times each stage of the tpu_default full chain separately (one process —
+the tunneled chip is single-claim) and prints a JSON breakdown.  Used to
+target kernel optimization at the stages that actually dominate.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def _sync(out):
+    import jax
+
+    jax.block_until_ready(out)
+    leaf = jax.tree.leaves(out)[0]
+    np.asarray(leaf[tuple(slice(0, 1) for _ in leaf.shape)])
+
+
+def time_fn(fn, *args, reps=3):
+    out = fn(*args)
+    _sync(out)
+    best = np.inf
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        _sync(out)
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from python_audio_mastering_tpu import ChainConfig, MasteringParams, master
+    from python_audio_mastering_tpu.models.chain import apply_eq
+    from python_audio_mastering_tpu.ops import compressor as comp
+    from python_audio_mastering_tpu.ops import loudness as loud
+    from python_audio_mastering_tpu.ops import multiband
+    from python_audio_mastering_tpu.ops import pallas_kernels as pk
+    from python_audio_mastering_tpu.ops.waveshaper import saturate
+
+    fs = 44100
+    seconds = 180.0
+    n = int(fs * seconds)
+    rng = np.random.default_rng(0)
+    t = np.arange(n) / fs
+    sig = (0.4 * np.sin(2 * np.pi * 55 * t) + 0.2 * np.sin(2 * np.pi * 880 * t)
+           + 0.05 * rng.standard_normal(n))
+    x = jnp.asarray(np.stack([sig, np.roll(sig, 29)], axis=1), jnp.float32)
+
+    cfg = ChainConfig.tpu_default(sample_rate=fs)
+    params = MasteringParams.from_settings(
+        {"saturation": 20, "preset": "techno", "width": 1.3, "lufs": -14.0,
+         "multiband": True})
+    res = {"device": str(jax.devices()[0]), "n": n}
+
+    # full chain
+    fn_full = jax.jit(lambda a, p: master(a, p, cfg))
+    res["full_chain"] = time_fn(fn_full, x, params)
+
+    # chain without multiband
+    p_nomb = MasteringParams.from_settings(
+        {"saturation": 20, "preset": "techno", "width": 1.3, "lufs": -14.0})
+    res["chain_no_mb"] = time_fn(fn_full, x, p_nomb)
+
+    # multiband alone
+    def mb(a, p):
+        return multiband.multiband_compress(
+            a, fs, thresholds_db=(p.low_thresh, p.mid_thresh, p.high_thresh),
+            ratios=(p.low_ratio, p.mid_ratio, p.high_ratio),
+            variant="worker", filter_method=cfg.filter_method,
+            hop=cfg.comp_hop, block_ctrl=cfg.comp_block_ctrl,
+            ballistics=cfg.comp_ballistics)
+    res["multiband_alone"] = time_fn(jax.jit(mb), x, params)
+
+    # crossover alone
+    fn_xo = jax.jit(lambda a: multiband.crossover_split(
+        a, fs, filter_method=cfg.filter_method)[0])
+    bands = fn_xo(x)
+    res["crossover_alone"] = time_fn(fn_xo, x)
+
+    # detectors alone (3 bands)
+    def dets(b, p):
+        th = (p.low_thresh, p.mid_thresh, p.high_thresh)
+        ra = (p.low_ratio, p.mid_ratio, p.high_ratio)
+        st = [comp.detector_stats(b[i], fs, th[i], ra[i],
+                                  multiband.BAND_BALLISTICS_MS[i][0],
+                                  multiband.BAND_BALLISTICS_MS[i][1],
+                                  hop=cfg.comp_hop) for i in range(3)]
+        return {k: jnp.stack([s[k] for s in st], axis=-1) for k in st[0]}
+    fn_det = jax.jit(dets)
+    stacked = fn_det(bands, params)
+    res["detectors_alone"] = time_fn(fn_det, bands, params)
+
+    # pallas ballistics alone
+    dt = stacked["max_att"].dtype
+    ca = jnp.asarray([cfg.comp_hop / max(a * fs / 1000.0, 1.0)
+                      for a, _ in multiband.BAND_BALLISTICS_MS], dt)
+    cr = jnp.asarray([cfg.comp_hop / max(r * fs / 1000.0, 1.0)
+                      for _, r in multiband.BAND_BALLISTICS_MS], dt)
+    fn_bal = jax.jit(lambda m: pk.ballistics_pallas_rates(m, ca, cr)[0])
+    res["ballistics_alone"] = time_fn(fn_bal, stacked["max_att"])
+
+    # recombine einsum alone
+    att = fn_bal(stacked["max_att"])
+    def recombine(b, a):
+        a_full = jnp.repeat(a, cfg.comp_hop, axis=0)[:n]
+        g = 10.0 ** (-a_full / 20.0)
+        return jnp.einsum("bnc,nb->nc", b, g)
+    res["recombine_alone"] = time_fn(jax.jit(recombine), bands, att)
+
+    # EQ alone; saturate alone; loudness alone
+    fn_eq = jax.jit(lambda a, p: apply_eq(a, p, cfg)[0])
+    res["eq_alone"] = time_fn(fn_eq, x, params)
+    res["saturate_alone"] = time_fn(jax.jit(lambda a: saturate(a, 20.0)), x)
+    fn_lufs = jax.jit(lambda a: loud.normalize_to_lufs(
+        a, fs, -14.0, downmix=cfg.measure_downmix,
+        filter_method=cfg.filter_method)[0])
+    res["lufs_alone"] = time_fn(fn_lufs, x)
+
+    print(json.dumps(res, indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -100,3 +100,59 @@ def test_unknown_transfer_format_rejected():
     cfg = ChainConfig(sample_rate=FS, dtype="float32")
     with pytest.raises(ValueError, match="transfer"):
         streaming.master_streamed(x, params, cfg, transfer="pcm12")
+
+
+def test_streamed_lookahead_limiter_matches_one_shot():
+    """Quality mode streams: carried delay-line + release state makes the
+    chunked lookahead limiter equal the one-shot master()."""
+    x = make_signal(int(FS * 2.2) + 123, fs=FS) * 0.9  # hot: limiter engages
+    params = MasteringParams.from_settings(
+        {"saturation": 20, "preset": "techno", "lufs": -9.0})
+    cfg = ChainConfig(sample_rate=FS, dtype="float64",
+                      limiter_mode="lookahead_truepeak")
+    full = np.asarray(master(x, params, cfg))
+    streamed, _, _ = streaming.master_streamed(x, params, cfg,
+                                               chunk_seconds=0.6)
+    assert np.abs(full).max() > 0.5  # the limiter actually worked
+    np.testing.assert_allclose(streamed, full, rtol=1e-9, atol=1e-10)
+
+
+def test_streamed_lookahead_multiband_and_partial_chunk():
+    x = make_signal(int(FS * 1.83) + 77, fs=FS) * 0.8
+    params = MasteringParams.from_settings(
+        {"bass_boost": 3.0, "lufs": -10.0, "multiband": True})
+    cfg = ChainConfig(sample_rate=FS, dtype="float64",
+                      limiter_mode="lookahead_truepeak")
+    full = np.asarray(master(x, params, cfg))
+    streamed, _, _ = streaming.master_streamed(x, params, cfg,
+                                               chunk_seconds=0.5)
+    np.testing.assert_allclose(streamed, full, rtol=1e-9, atol=1e-10)
+
+
+def test_streamed_meters_match_one_shot_meters():
+    """Meters stream from the accumulated cells: momentary/short-term/LRA
+    and true peak equal the one-shot meter family on the output signal
+    (quiet target, so the reference limiter is exactly identity)."""
+    from python_audio_mastering_tpu.ops import meters as met
+
+    x = make_signal(int(FS * 5.0), fs=FS) * 0.4
+    params = MasteringParams.from_settings({"preset": "pop", "lufs": -20.0})
+    cfg = ChainConfig(sample_rate=FS, dtype="float64")
+    out, measured, gain_db, meters = streaming.master_streamed(
+        x, params, cfg, chunk_seconds=1.0, return_meters=True)
+    assert np.abs(out).max() < 0.98  # limiter inactive -> out == normalized
+    mom_ref = np.asarray(met.momentary_loudness(
+        out, FS, downmix="reference_mono_mean"))
+    st_ref = np.asarray(met.shortterm_loudness(
+        out, FS, downmix="reference_mono_mean"))
+    np.testing.assert_allclose(meters["momentary_lufs"], mom_ref,
+                               rtol=0, atol=1e-6)
+    np.testing.assert_allclose(meters["short_term_lufs"], st_ref,
+                               rtol=0, atol=1e-6)
+    import jax.numpy as jnp
+
+    lra_ref = float(met.lra_from_shortterm(jnp.asarray(st_ref)))
+    assert abs(meters["lra_lu"] - lra_ref) < 1e-6
+    tp_ref = float(met.true_peak_db(out))
+    assert abs(meters["true_peak_dbtp"] - tp_ref) < 1e-6
+    assert abs(meters["integrated_lufs"] - (-20.0)) < 0.05
