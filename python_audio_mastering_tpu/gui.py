@@ -21,28 +21,14 @@ import tkinter as tk
 from tkinter import filedialog, messagebox, ttk
 
 from python_audio_mastering_tpu import engine
+from python_audio_mastering_tpu.gui_logic import (
+    MB_SLIDERS,
+    SLIDERS,
+    GuiState,
+)
 from python_audio_mastering_tpu.models.presets import EQ_PRESETS
 
-__all__ = ["MasteringApp", "EQ_PRESETS", "main"]
-
-# (attr, label, lo, hi, default) — ranges per mastering_gui.py:95-112
-SLIDERS = [
-    ("saturation", "Saturation (%)", 0.0, 100.0, 0.0),
-    ("bass_boost", "Bass (dB)", -6.0, 6.0, 0.0),
-    ("mid_cut", "Mid Cut (dB)", 0.0, 6.0, 0.0),
-    ("presence_boost", "Presence (dB)", -6.0, 6.0, 0.0),
-    ("treble_boost", "Treble (dB)", -6.0, 6.0, 0.0),
-    ("width", "Stereo Width", 0.0, 2.0, 1.0),
-    ("lufs", "Target LUFS", -24.0, -6.0, -14.0),
-]
-MB_SLIDERS = [
-    ("low_band_threshold", "Low Thresh (dB)", -40.0, 0.0, -25.0),
-    ("low_band_ratio", "Low Ratio", 1.0, 12.0, 6.0),
-    ("mid_band_threshold", "Mid Thresh (dB)", -40.0, 0.0, -20.0),
-    ("mid_band_ratio", "Mid Ratio", 1.0, 12.0, 3.0),
-    ("high_band_threshold", "High Thresh (dB)", -40.0, 0.0, -15.0),
-    ("high_band_ratio", "High Ratio", 1.0, 12.0, 4.0),
-]
+__all__ = ["MasteringApp", "EQ_PRESETS", "SLIDERS", "MB_SLIDERS", "main"]
 
 
 class MasteringApp(tk.Tk):
@@ -51,7 +37,7 @@ class MasteringApp(tk.Tk):
         self.title("TPU Audio Mastering")
         self.minsize(620, 700)
         self.vars = {}
-        self._busy = False
+        self.logic = GuiState()  # display-free state machine (gui_logic)
 
         nb = ttk.Notebook(self)
         nb.pack(fill="x", padx=12, pady=8)
@@ -150,8 +136,10 @@ class MasteringApp(tk.Tk):
         if path:
             self.input_file.set(path)
             if not self.output_file.get():
-                base, ext = os.path.splitext(path)
-                self.output_file.set(f"{base}_mastered{ext}")
+                from python_audio_mastering_tpu.gui_logic import \
+                    default_output_path
+
+                self.output_file.set(default_output_path(path))
 
     def _pick_output(self):
         path = filedialog.asksaveasfilename(
@@ -166,23 +154,22 @@ class MasteringApp(tk.Tk):
             var.set(path)
 
     def apply_preset(self, name):
-        if name == "None":
-            for k in ("bass_boost", "mid_cut", "presence_boost", "treble_boost"):
-                self.vars[k].set(0.0)
-            return
-        p = EQ_PRESETS[name]
+        self.logic.apply_preset(name)
         for k in ("bass_boost", "mid_cut", "presence_boost", "treble_boost"):
-            self.vars[k].set(p.get(k, 0.0))
+            self.vars[k].set(self.logic.values[k])
 
     # ------------------------------------------------------------ actions
+    def _sync_logic(self):
+        """Push widget values into the display-free state machine."""
+        for attr, var in self.vars.items():
+            self.logic.values[attr] = float(var.get())
+        self.logic.multiband = bool(self.use_multiband.get())
+
     def get_current_settings(self) -> dict:
-        s = {attr: var.get() for attr, var in self.vars.items()}
-        s["multiband"] = self.use_multiband.get()
-        s["compress"] = False  # emitted-but-unused reference key
-        return s
+        self._sync_logic()
+        return self.logic.get_current_settings()
 
     def _set_busy(self, busy: bool):
-        self._busy = busy
         state = "disabled" if busy else "normal"
         self.process_button.config(state=state,
                                    text="Processing..." if busy
@@ -190,12 +177,11 @@ class MasteringApp(tk.Tk):
         self.batch_button.config(state=state)
 
     def start_single(self):
-        settings = self.get_current_settings()
-        settings["input_file"] = self.input_file.get()
-        settings["output_file"] = self.output_file.get()
-        if not settings["input_file"] or not settings["output_file"]:
-            messagebox.showerror(
-                "Error", "Please select both an input and an output file.")
+        self._sync_logic()
+        settings, err = self.logic.start_single_job(self.input_file.get(),
+                                                    self.output_file.get())
+        if err:
+            messagebox.showerror("Error", err)
             return
         self._set_busy(True)
         threading.Thread(target=engine.process_audio,
@@ -203,14 +189,15 @@ class MasteringApp(tk.Tk):
                          daemon=True).start()
 
     def start_batch(self):
-        if not self.input_folder.get() or not self.output_folder.get():
-            messagebox.showerror(
-                "Error", "Please select both an input and an output folder.")
+        self._sync_logic()
+        settings, err = self.logic.start_batch_job(self.input_folder.get(),
+                                                   self.output_folder.get())
+        if err:
+            messagebox.showerror("Error", err)
             return
         self._set_busy(True)
         threading.Thread(target=engine.batch_process_audio,
-                         args=(self.get_current_settings(),
-                               self.input_folder.get(),
+                         args=(settings, self.input_folder.get(),
                                self.output_folder.get(), self.update_status),
                          daemon=True).start()
 
@@ -220,12 +207,12 @@ class MasteringApp(tk.Tk):
 
     def _apply_status(self, message: str):
         self.status_var.set(message)
-        low = message.lower()
-        if "complete" in low or "error" in low or "no audio files" in low:
+        kind = self.logic.on_status(message)
+        if kind in ("done", "error", "empty"):
             self._set_busy(False)
-            if "complete" in low:
+            if kind == "done":
                 messagebox.showinfo("Success", message)
-            elif "error" in low:
+            elif kind == "error":
                 messagebox.showerror("Error", message)
 
 

@@ -153,7 +153,9 @@ def multiband_compress(x, sample_rate, thresholds_db, ratios, variant="worker",
     if hop > 1:
         att = jnp.repeat(att, hop, axis=0)[:n]
     gains = 10.0 ** (-att / 20.0)  # (N, 3)
-    y = jnp.einsum("bnc,nb->nc", bands, gains)
+    # broadcast-multiply-sum (NOT einsum: XLA lowers "bnc,nb->nc" as N tiny
+    # batched matmuls with terrible layout — this fuses to one HBM pass)
+    y = (bands * gains.T[:, :, None]).sum(axis=0)
     if squeeze:
         y = y[:, 0]
     if return_state:

@@ -58,14 +58,22 @@ def _kernel(m_ref, ca_ref, cr_ref, att0_ref, out_ref, final_ref, carry_ref,
     def macro(k, att):
         base = pl.multiple_of(k * _LANES, _LANES)
         mv = m_ref[:, pl.ds(base, _LANES)]
+        # inc/dec vectors precomputed per 128-step block: the per-step
+        # extracts are att-independent, so the scheduler hides them in the
+        # recurrence's stall slots
+        iv = mv * ca
+        dv = mv * cr
         outs = jnp.zeros((m_ref.shape[0], _LANES), m_ref.dtype)
         for j in range(_LANES):  # static unroll: static lane slices only
             m0 = mv[:, j: j + 1]
-            attack = jnp.minimum(att + m0 * ca, m0)
-            release = jnp.maximum(att - m0 * cr, 0.0)
-            att = jnp.where((m0 > 0.0) & (att <= m0), attack, release)
+            # the (m0 > 0) test of the contract is redundant: when m0 == 0,
+            # att <= m0 iff att == 0, and both branches then yield att
+            attack = jnp.minimum(att + iv[:, j: j + 1], m0)
+            release = jnp.maximum(att - dv[:, j: j + 1], 0.0)
+            att = jnp.where(att <= m0, attack, release)
             # place att in lane j via a constant one-hot select (linear
-            # cost — concatenate/roll collection is quadratic in Mosaic)
+            # cost — concatenate/roll collection is quadratic in Mosaic;
+            # the depth-3 cmp/add+min/select chain is the latency floor)
             outs = jnp.where(lanes == j, att, outs)
         out_ref[:, pl.ds(base, _LANES)] = outs
         return att

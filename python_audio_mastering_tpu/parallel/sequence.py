@@ -11,10 +11,13 @@ stage:
 * the compressor detector gets the previous shard's band tail via
   ``ppermute`` and uses *global* sample positions for its partial-window
   counts (exact);
-* the ballistics recurrence takes a globally coarse pre-scan
-  (``all_gather`` of decimated stats → tiny replicated scan) for shard
-  warm-starts, then runs block-parallel within each shard (the fast-mode
-  approximation, same budget as single-device blocked mode);
+* the ballistics recurrence has two modes (``sp_ballistics``): the default
+  "approx" takes a globally coarse pre-scan (``all_gather`` of decimated
+  stats → tiny replicated scan) for shard warm-starts, then runs
+  block-parallel within each shard (the fast-mode approximation, same
+  budget as single-device blocked mode); "exact" serializes the recurrence
+  across shards with a ppermute handoff of the final attenuation (exact at
+  any config — the one op that pays for exactness with its SP speedup);
 * loudness cells are computed shard-locally, gathered, and gated globally;
   the gain is a replicated scalar.
 
@@ -95,6 +98,34 @@ def _sharded_detector(band, axis, sample_rate, threshold_db, ratio,
             "dec": max_att / release_frames * hop}
 
 
+def _sharded_ballistics_exact(stats, axis):
+    """EXACT sequential shard handoff of the ballistics recurrence.
+
+    The recurrence is the one truly sequential op in the chain, so exactness
+    under SP costs its parallel speedup (everything else still shards):
+    run D rounds of the exact per-shard scan; after each round the final
+    attenuation ``ppermute``s forward, so device k's scan is correct from
+    round k+1 on (and stays correct — its incoming state no longer
+    changes).  After D rounds every shard holds the exact result.  Total
+    sequential work = one full-signal scan, same as a single device.
+    """
+    d = jax.lax.axis_size(axis)
+    idx = jax.lax.axis_index(axis)
+    m = stats["max_att"]
+    att0 = jnp.zeros(m.shape[1:], m.dtype)
+    att = jnp.zeros_like(m)
+
+    def round_fn(_, carry):
+        att0, _ = carry
+        att, final = comp.attenuation_scan(stats, att0)
+        nxt = jax.lax.ppermute(final, axis,
+                               [(i, i + 1) for i in range(d - 1)])
+        return jnp.where(idx == 0, jnp.zeros_like(nxt), nxt), att
+
+    _, att = jax.lax.fori_loop(0, d, round_fn, (att0, att))
+    return att
+
+
 def _sharded_ballistics(stats, axis, block_ctrl, overlap_ctrl, coarse=64):
     """Coarse global pre-scan (replicated) + per-shard blocked refinement."""
     d = jax.lax.axis_size(axis)
@@ -117,7 +148,8 @@ def _sharded_ballistics(stats, axis, block_ctrl, overlap_ctrl, coarse=64):
     return att
 
 
-def _chain_shard(x, params, config: ChainConfig, axis: str, n_valid: int):
+def _chain_shard(x, params, config: ChainConfig, axis: str, n_valid: int,
+                 sp_ballistics: str = "approx"):
     fs = config.sample_rate
     run_iir = functools.partial(iir.sosfilt_sharded, axis_name=axis,
                                 block_size=config.block_size)
@@ -148,14 +180,17 @@ def _chain_shard(x, params, config: ChainConfig, axis: str, n_valid: int):
         ]
         stacked = {k: jnp.stack([s[k] for s in stats], axis=-1)
                    for k in stats[0]}
-        block_ctrl = config.comp_block_ctrl or 2048
-        overlap_ctrl = config.comp_overlap_ctrl or comp._default_overlap(
-            fs, 200.0, hop)
-        att = _sharded_ballistics(stacked, axis, block_ctrl, overlap_ctrl)
+        if sp_ballistics == "exact":
+            att = _sharded_ballistics_exact(stacked, axis)
+        else:
+            block_ctrl = config.comp_block_ctrl or 2048
+            overlap_ctrl = config.comp_overlap_ctrl or comp._default_overlap(
+                fs, 200.0, hop)
+            att = _sharded_ballistics(stacked, axis, block_ctrl, overlap_ctrl)
         if hop > 1:
             att = jnp.repeat(att, hop, axis=0)[: x.shape[0]]
         gains = 10.0 ** (-att / 20.0)
-        x = jnp.einsum("bnc,nb->nc", jnp.stack(bands), gains)
+        x = (jnp.stack(bands) * gains.T[:, :, None]).sum(axis=0)
 
     # global gated loudness from shard-local cells
     if params.lufs_enabled:
@@ -185,8 +220,15 @@ def _chain_shard(x, params, config: ChainConfig, axis: str, n_valid: int):
 
 
 def master_track_sharded(audio, params: MasteringParams, config: ChainConfig,
-                         mesh=None, axis: str = "seq"):
+                         mesh=None, axis: str = "seq",
+                         sp_ballistics: str = "approx"):
     """Master one long track sharded over the mesh's devices.
+
+    ``sp_ballistics``: ``"approx"`` (default — coarse-warm-start blocked
+    refinement, the fast-mode budget; see DESIGN.md §4) or ``"exact"``
+    (sequential ppermute handoff — exact at any config, but the ballistics
+    op itself serializes across shards; the rest of the chain still
+    shards).
 
     Returns ``(audio_out np.ndarray, measured_lufs, gain_db)``.
     """
@@ -208,7 +250,7 @@ def master_track_sharded(audio, params: MasteringParams, config: ChainConfig,
     fn = jax.jit(
         jax.shard_map(
             functools.partial(_chain_shard, config=config, axis=axis,
-                              n_valid=n),
+                              n_valid=n, sp_ballistics=sp_ballistics),
             mesh=mesh, in_specs=(P(axis, None), P()),
             out_specs=(P(axis, None), P(), P()), check_vma=False),
     )

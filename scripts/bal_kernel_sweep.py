@@ -168,13 +168,121 @@ def main():
             return att
         return jax.lax.fori_loop(0, tile // LANES, macro, att)
 
-    run_variant("v0_copy_only", v0)
-    run_variant("v1_current", v1)
-    run_variant("v2_leaner_math", v2)
-    run_variant("v3_replicated", v3)
-    run_variant("v4_dynstore", v4)
-    run_variant("v2_tile4096", v2, tile=4096)
-    run_variant("v2_tile32768", v2, tile=32768)
+    # V5: single extract per step + clip-form update with the hi = max(m0,
+    # att) identity (exact: attack needs hi=m0 and att<=m0 there; release
+    # needs any hi >= att-d and max(m0, att) >= att there) — 9 ops/step.
+    def v5(m_ref, ca, cr, out_ref, att, tile):
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANES), 1)
+        ncr = -cr
+        def macro(k, att):
+            base = pl.multiple_of(k * LANES, LANES)
+            mv = m_ref[:, pl.ds(base, LANES)]
+            outs = jnp.zeros((SUB, LANES), m_ref.dtype)
+            for j in range(LANES):
+                m0 = mv[:, j:j + 1]
+                r = jnp.where(att <= m0, ca, ncr)
+                att = jnp.minimum(jnp.maximum(att + m0 * r, 0.0),
+                                  jnp.maximum(m0, att))
+                outs = jnp.where(lanes == j, att, outs)
+            out_ref[:, pl.ds(base, LANES)] = outs
+            return att
+        return jax.lax.fori_loop(0, tile // LANES, macro, att)
+
+    # V6: v2 extracts + hi-trick (drop one where)
+    def v6(m_ref, ca, cr, out_ref, att, tile):
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANES), 1)
+        def macro(k, att):
+            base = pl.multiple_of(k * LANES, LANES)
+            mv = m_ref[:, pl.ds(base, LANES)]
+            iv = mv * ca
+            ndv = mv * (-cr)
+            outs = jnp.zeros((SUB, LANES), m_ref.dtype)
+            for j in range(LANES):
+                m0 = mv[:, j:j + 1]
+                delta = jnp.where(att <= m0, iv[:, j:j + 1], ndv[:, j:j + 1])
+                att = jnp.minimum(jnp.maximum(att + delta, 0.0),
+                                  jnp.maximum(m0, att))
+                outs = jnp.where(lanes == j, att, outs)
+            out_ref[:, pl.ds(base, LANES)] = outs
+            return att
+        return jax.lax.fori_loop(0, tile // LANES, macro, att)
+
+    # V7: pure dependency chain with constants — measures the latency floor
+    # (no extracts, no output collection; result written once per macro so
+    # nothing is dead-code-eliminated)
+    def v7(m_ref, ca, cr, out_ref, att, tile):
+        c1 = ca * 100.0
+        c2 = ca
+        c3 = cr
+        def macro(k, att):
+            base = pl.multiple_of(k * LANES, LANES)
+            for _ in range(LANES):
+                attack = jnp.minimum(att + c2, c1)
+                release = att - c3
+                att = jnp.where(att <= c1, attack, release)
+            out_ref[:, pl.ds(base, LANES)] = jnp.broadcast_to(att, (SUB, LANES))
+            return att
+        return jax.lax.fori_loop(0, tile // LANES, macro, att)
+
+    # V8: v2 minus the release floor max(.,0) — provably dead when cr <= 1
+    # (release branch implies att > m0 >= 0, so att - m0*cr > m0*(1-cr) >= 0)
+    def v8(m_ref, ca, cr, out_ref, att, tile):
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANES), 1)
+        def macro(k, att):
+            base = pl.multiple_of(k * LANES, LANES)
+            mv = m_ref[:, pl.ds(base, LANES)]
+            iv = mv * ca
+            dv = mv * cr
+            outs = jnp.zeros((SUB, LANES), m_ref.dtype)
+            for j in range(LANES):
+                m0 = mv[:, j:j + 1]
+                attack = jnp.minimum(att + iv[:, j:j + 1], m0)
+                release = att - dv[:, j:j + 1]
+                att = jnp.where(att <= m0, attack, release)
+                outs = jnp.where(lanes == j, att, outs)
+            out_ref[:, pl.ds(base, LANES)] = outs
+            return att
+        return jax.lax.fori_loop(0, tile // LANES, macro, att)
+
+    # V9: ONE extract per step (inc/dec via muls — ALU is ~free next to
+    # shuffles), select collection
+    def v9(m_ref, ca, cr, out_ref, att, tile):
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANES), 1)
+        def macro(k, att):
+            base = pl.multiple_of(k * LANES, LANES)
+            mv = m_ref[:, pl.ds(base, LANES)]
+            outs = jnp.zeros((SUB, LANES), m_ref.dtype)
+            for j in range(LANES):
+                m0 = mv[:, j:j + 1]
+                attack = jnp.minimum(att + m0 * ca, m0)
+                release = jnp.maximum(att - m0 * cr, 0.0)
+                att = jnp.where(att <= m0, attack, release)
+                outs = jnp.where(lanes == j, att, outs)
+            out_ref[:, pl.ds(base, LANES)] = outs
+            return att
+        return jax.lax.fori_loop(0, tile // LANES, macro, att)
+
+    # V10: v9 with additive one-hot collection (mul+add vs broadcast+select)
+    def v10(m_ref, ca, cr, out_ref, att, tile):
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANES), 1)
+        def macro(k, att):
+            base = pl.multiple_of(k * LANES, LANES)
+            mv = m_ref[:, pl.ds(base, LANES)]
+            outs = jnp.zeros((SUB, LANES), m_ref.dtype)
+            for j in range(LANES):
+                m0 = mv[:, j:j + 1]
+                attack = jnp.minimum(att + m0 * ca, m0)
+                release = jnp.maximum(att - m0 * cr, 0.0)
+                att = jnp.where(att <= m0, attack, release)
+                onehot = (lanes == j).astype(m_ref.dtype)
+                outs = outs + att * onehot
+            out_ref[:, pl.ds(base, LANES)] = outs
+            return att
+        return jax.lax.fori_loop(0, tile // LANES, macro, att)
+
+    run_variant("v9_one_extract", v9)
+    run_variant("v10_additive_collect", v10)
+    run_variant("v7_latency_floor", v7)
 
     # RPC baseline
     f2 = jax.jit(lambda m: m * 2.0)

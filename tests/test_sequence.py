@@ -42,3 +42,30 @@ def test_sharded_track_unaligned_length():
     got, _, _ = sequence.master_track_sharded(x, p, cfg)
     assert got.shape == x.shape
     np.testing.assert_allclose(got, ref, rtol=1e-9, atol=1e-11)
+
+
+def test_sharded_track_multiband_exact_mode():
+    """sp_ballistics='exact': sequential ppermute handoff makes the sharded
+    multiband chain equal the one-shot exact contract at float tolerance."""
+    x = make_signal(FS * 2, fs=FS) * 0.4
+    p = MasteringParams.from_settings(
+        {"saturation": 10, "bass_boost": 3.0, "lufs": -14.0, "multiband": True})
+    # exact contract: hop=1, scan ballistics (ChainConfig defaults)
+    cfg = ChainConfig(sample_rate=FS, dtype="float64", filter_method="blocked",
+                      comp_ballistics="scan")
+    ref = np.asarray(master(x, p, cfg))
+    got, _, _ = sequence.master_track_sharded(x, p, cfg, sp_ballistics="exact")
+    np.testing.assert_allclose(got, ref, rtol=1e-9, atol=1e-11)
+
+
+def test_sharded_track_exact_mode_with_hop():
+    """Exact mode also matches at decimated hop configs (exact *given* the
+    config's own hop grid)."""
+    x = make_signal(FS * 2, fs=FS) * 0.4
+    p = MasteringParams.from_settings(
+        {"lufs": -14.0, "multiband": True, "low_thresh": -30.0})
+    cfg = ChainConfig(sample_rate=FS, dtype="float64", filter_method="blocked",
+                      comp_hop=8, comp_ballistics="scan")
+    ref = np.asarray(master(x, p, cfg))
+    got, _, _ = sequence.master_track_sharded(x, p, cfg, sp_ballistics="exact")
+    np.testing.assert_allclose(got, ref, rtol=1e-9, atol=1e-11)
