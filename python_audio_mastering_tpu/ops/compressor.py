@@ -108,6 +108,75 @@ def detector_stats(x, sample_rate, threshold_db, ratio, attack_ms, release_ms, h
     }
 
 
+def detector_stats_bands(bands, sample_rate, thresholds_db, ratios,
+                         attacks_ms, releases_ms, hop=1):
+    """Batched :func:`detector_stats` over a leading bands axis.
+
+    One squared-signal/bucket/cumsum pass for all bands (the HBM-heavy
+    part — per-band calls each re-traverse the signal), then per-band
+    window slices and gain computers (cheap, control-rate).  Exact: the
+    per-row summation order equals the single-band path's.
+
+    Args:
+      bands: ``(B, N, C)`` band signals.
+      thresholds_db / ratios: length-B (traced OK).
+      attacks_ms / releases_ms: length-B static floats.
+
+    Returns dict of ``(T, B)`` arrays (``attenuation_scan``'s stacked
+    layout): ``max_att``, ``above``, ``inc``, ``dec``.
+    """
+    b, n, _ = bands.shape
+    dt = bands.dtype
+    x2 = (bands * bands).mean(axis=2)  # (B, N)
+
+    if hop == 1:
+        csum = jnp.concatenate(
+            [jnp.zeros((b, 1), dt), jnp.cumsum(x2, axis=1)], axis=1)
+        hi_rows = csum[:, :n]
+        t = n
+        grid = 1
+    else:
+        t = -(-n // hop)
+        xb = jnp.pad(x2, ((0, 0), (0, t * hop - n))).reshape(b, t, hop).sum(-1)
+        hi_rows = jnp.concatenate(
+            [jnp.zeros((b, 1), dt), jnp.cumsum(xb, axis=1)], axis=1)[:, :t]
+        grid = hop
+
+    ms_cols = []
+    att_f = []
+    rel_f = []
+    for i in range(b):
+        look = max(0, int(attacks_ms[i] * sample_rate / 1000.0))
+        look_eff = look if grid == 1 else max(hop, -(-look // hop) * hop)
+        pad = min(look_eff // grid if grid > 1 else min(look, t), t)
+        hi = hi_rows[i]
+        lo = jnp.concatenate([jnp.zeros((pad,), dt), hi[: t - pad]])
+        cnt = jnp.minimum(jnp.arange(t) * grid,
+                          max(look_eff if grid > 1 else look, 1)).clip(1)
+        ms_cols.append((hi - lo) / cnt.astype(dt))
+        att_f.append(max(attacks_ms[i] * sample_rate / 1000.0, 1.0))
+        rel_f.append(max(releases_ms[i] * sample_rate / 1000.0, 1.0))
+
+    ms = jnp.stack(ms_cols, axis=-1)  # (T, B)
+    thresh_amp = 10.0 ** (jnp.stack(
+        [jnp.asarray(x, dt) for x in thresholds_db]) / 20.0)  # (B,)
+    rms = jnp.sqrt(jnp.maximum(ms, 0.0))
+    eps = jnp.asarray(1e-30, dt)
+    db_over = jnp.maximum(
+        20.0 * jnp.log10(jnp.maximum(rms, eps) / thresh_amp), 0.0)
+    db_over = jnp.where(rms > 0, db_over, 0.0)
+    ratio = jnp.stack([jnp.asarray(r, dt) for r in ratios])
+    max_att = (1.0 - 1.0 / ratio) * db_over
+    att_f = jnp.asarray(att_f, dt)
+    rel_f = jnp.asarray(rel_f, dt)
+    return {
+        "max_att": max_att,
+        "above": rms > thresh_amp,
+        "inc": max_att / att_f * hop,
+        "dec": max_att / rel_f * hop,
+    }
+
+
 def _ballistics_step(att, inputs):
     m, above, inc, dec = inputs
     attack = jnp.minimum(att + inc, m)

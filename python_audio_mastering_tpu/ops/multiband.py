@@ -117,15 +117,13 @@ def multiband_compress(x, sample_rate, thresholds_db, ratios, variant="worker",
     det_bands = bands if tail is None else jnp.concatenate([tail, bands], axis=1)
     skip_ctrl = 0 if tail is None else look_pad // hop
 
-    # Detectors: per band (different lookback windows), fully parallel.
-    stats = [
-        comp.detector_stats(det_bands[i], sample_rate, thresholds_db[i], ratios[i],
-                            BAND_BALLISTICS_MS[i][0], BAND_BALLISTICS_MS[i][1],
-                            hop=hop)
-        for i in range(3)
-    ]
-    stacked = {k: jnp.stack([s[k] for s in stats], axis=-1)[skip_ctrl:]
-               for k in stats[0]}
+    # Detectors: one batched pass over all 3 bands (different lookback
+    # windows handled per band at the cheap control-rate stage).
+    stacked = comp.detector_stats_bands(
+        det_bands, sample_rate, thresholds_db, ratios,
+        tuple(a for a, _ in BAND_BALLISTICS_MS),
+        tuple(r for _, r in BAND_BALLISTICS_MS), hop=hop)
+    stacked = {k: v[skip_ctrl:] for k, v in stacked.items()}
 
     # Ballistics: ONE pass, (3,)-vector carry.
     att0 = state.get("att")

