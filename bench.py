@@ -55,6 +55,51 @@ def _time_fn(fn, *args, reps=3):
     return best, out
 
 
+# Peak-rate assumptions for the roofline (TPU v5e / "v5 lite": 197 TFLOP/s
+# bf16 MXU, 819 GB/s HBM).  The chain runs float32, so mfu is reported
+# against the bf16 MXU peak — a deliberately conservative denominator; the
+# JSON records the assumption so the number is auditable.
+_PEAKS = {"v5 lite": (197.0, 819.0), "v5e": (197.0, 819.0),
+          "v4": (275.0, 1228.0), "v5p": (459.0, 2765.0)}
+
+
+def _peaks_for(device_str):
+    for key, peaks in _PEAKS.items():
+        if key in device_str.lower():
+            return peaks
+    return _PEAKS["v5 lite"]
+
+
+def _roofline(jitted, args, wall_s, device_str):
+    """FLOPs/HBM-bytes from XLA's own cost model + achieved rates.
+
+    SURVEY.md §6 metric discipline: quantify "fast" as a fraction of the
+    hardware roof rather than asserting it.  ``bound`` labels which roof
+    XLA's estimate says the program sits under at these shapes.
+    """
+    try:
+        ca = jitted.lower(*args).compile().cost_analysis()
+        if not isinstance(ca, dict):  # older jax: list of per-computation dicts
+            ca = ca[0]
+        flops, bytes_ = float(ca["flops"]), float(ca["bytes accessed"])
+    except Exception:
+        return {}
+    peak_tf, peak_gb = _peaks_for(device_str)
+    ach_tf = flops / wall_s / 1e12
+    ach_gb = bytes_ / wall_s / (1 << 30)
+    intensity = flops / max(bytes_, 1.0)
+    ridge = peak_tf * 1e12 / (peak_gb * (1 << 30))
+    return {
+        "flops": flops, "hbm_bytes": bytes_,
+        "achieved_tflops": round(ach_tf, 3),
+        "achieved_hbm_GBps": round(ach_gb, 1),
+        "mfu_vs_bf16_peak": round(ach_tf / peak_tf, 4),
+        "hbm_util": round(ach_gb / peak_gb, 4),
+        "arithmetic_intensity": round(intensity, 2),
+        "bound": "hbm" if intensity < ridge else "mxu",
+    }
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -74,7 +119,9 @@ def main():
     fn = jax.jit(lambda a, p: master(a, p, cfg))
     wall, _ = _time_fn(fn, audio, params)
     rtf = seconds / wall
-    details["configs"]["full_chain_3min"] = {"wall_s": wall, "rtf": rtf}
+    dev = details["device"]
+    details["configs"]["full_chain_3min"] = {
+        "wall_s": wall, "rtf": rtf, **_roofline(fn, (audio, params), wall, dev)}
 
     headline = {
         "metric": "realtime_factor_full_chain_3min_1chip",
@@ -111,7 +158,8 @@ def main():
         details["configs"]["lufs_normalize_30s"] = {
             "wall_s": wall, "rtf": 30.0 / wall,
             "meter_err_LU_vs_oracle": meter_err,
-            "target_hit_err_LU_single_pass_gain": target_hit_err}
+            "target_hit_err_LU_single_pass_gain": target_hit_err,
+            **_roofline(nfn, (a30,), wall, dev)}
 
         # (2) 4-band EQ, four presets, 3-min
         eq_walls = {}
@@ -120,7 +168,8 @@ def main():
             wall, _ = _time_fn(fn, audio, p)  # same compiled chain, MB off? use chain w/o mb
             eq_walls[preset] = wall
         details["configs"]["eq_presets_3min"] = {
-            "wall_s": eq_walls, "rtf": seconds / max(eq_walls.values())}
+            "wall_s": eq_walls, "rtf": seconds / max(eq_walls.values()),
+            **_roofline(fn, (audio, p), max(eq_walls.values()), dev)}
 
         # (3) exciter + width + EQ + LUFS (no multiband), 3-min
         p3 = MasteringParams.from_settings(
@@ -128,46 +177,59 @@ def main():
         fn3 = jax.jit(lambda a, p: master(a, p, cfg))
         wall, _ = _time_fn(fn3, audio, p3)
         details["configs"]["fused_chain_no_mb_3min"] = {
-            "wall_s": wall, "rtf": seconds / wall}
+            "wall_s": wall, "rtf": seconds / wall,
+            **_roofline(fn3, (audio, p3), wall, dev)}
 
         # (4) full chain incl. multiband, 5-min
         a5 = jnp.asarray(_mk_audio(300.0, seed=1))
         wall, _ = _time_fn(fn, a5, params)
-        details["configs"]["full_chain_5min"] = {"wall_s": wall,
-                                                 "rtf": 300.0 / wall}
+        details["configs"]["full_chain_5min"] = {
+            "wall_s": wall, "rtf": 300.0 / wall,
+            **_roofline(fn, (a5, params), wall, dev)}
 
         # (5) batched album: 12 tracks × 5 min (60 min total), chunked
-        # double-buffered streaming with progress callbacks, one chip
+        # double-buffered streaming with progress callbacks, one chip.
+        # Production transfer mode is pcm16: int16 PCM over the host↔device
+        # link with on-device de/requantize — half the float32 bytes each
+        # way, which matters on this tunneled link (and costs nothing on a
+        # real PCIe host).  A second run with the timings dict inserts sync
+        # barriers so h2d/compute/d2h separate and compute-only rtf is a
+        # measured number, not a link-probe estimate.
         tracks = [_mk_audio(300.0, seed=10 + i) for i in range(12)]
+        album_sec = 12 * 300.0
         mesh1 = pmesh.make_mesh(devices=jax.devices()[:1])
         t0 = time.perf_counter()
-        outs, _ = pbatch.master_album_streamed(tracks, params, cfg, mesh=mesh1)
+        outs, _ = pbatch.master_album_streamed(
+            tracks, params, cfg, mesh=mesh1, transfer="pcm16")
         compile_and_run = time.perf_counter() - t0
         t0 = time.perf_counter()
-        outs, _ = pbatch.master_album_streamed(tracks, params, cfg, mesh=mesh1)
+        outs, _ = pbatch.master_album_streamed(
+            tracks, params, cfg, mesh=mesh1, transfer="pcm16")
         wall = time.perf_counter() - t0
-        # host↔device link calibration: this environment tunnels the TPU, so
-        # album jobs are transfer-bound; report the link so compute time is
-        # separable (on a real TPU host PCIe makes the transfer negligible)
+        tm = {}
+        pbatch.master_album_streamed(
+            tracks, params, cfg, mesh=mesh1, transfer="pcm16", timings=tm)
+        # host↔device link calibration, for context only: this environment
+        # tunnels the TPU, so album jobs are link-bound end to end; on a
+        # real TPU host PCIe makes the transfer negligible
         blob = np.zeros((64 << 20) // 4, np.float32)
         t0 = time.perf_counter()
         _sync(jax.device_put(blob))
         put_gbps = (64 / 1024) / (time.perf_counter() - t0)
-        album_bytes = sum(t.nbytes for t in tracks)
-        est_transfer = 2 * album_bytes / (put_gbps * (1 << 30))
         entry = {
             "wall_s": wall, "first_call_s": compile_and_run,
-            "rtf": 12 * 300.0 / wall,
+            "rtf": album_sec / wall,
+            "transfer": "pcm16",
             "host_device_link_GBps": round(put_gbps, 4),
         }
-        if est_transfer < 0.8 * wall:
-            entry["est_compute_rtf"] = round(
-                12 * 300.0 / (wall - est_transfer), 1)
-        else:
-            # the link estimate exceeds the measured wall (transfers overlap
-            # with compute and the single-blob probe overstates per-byte
-            # cost): the run is transfer-bound end to end on this link
-            entry["transfer_bound"] = True
+        if tm:
+            entry["h2d_s"] = round(tm.get("h2d_s", 0.0), 3)
+            entry["compute_s"] = round(tm.get("compute_s", 0.0), 3)
+            entry["d2h_s"] = round(tm.get("d2h_s", 0.0), 3)
+            if tm.get("compute_s"):
+                entry["compute_only_rtf"] = round(album_sec / tm["compute_s"], 1)
+            entry["transfer_bound"] = (
+                tm.get("h2d_s", 0) + tm.get("d2h_s", 0) > tm.get("compute_s", 0))
         details["configs"]["album_12x5min_streamed"] = entry
 
         with open(os.path.join(os.path.dirname(__file__), "BENCH_DETAILS.json"),

@@ -40,6 +40,31 @@ import jax.numpy as jnp
 __all__ = ["compress_dynamic_range", "compressor_gain_db", "detector_stats"]
 
 
+def cumsum_mxu(x, axis=-1, block=512):
+    """Inclusive cumsum along ``axis`` as a blocked MXU pass.
+
+    XLA lowers ``jnp.cumsum`` over ~1M control frames to log-depth vector
+    passes; at detector sizes a (nb, block) @ upper-triangular-ones matmul
+    plus a tiny carry cumsum over block totals is several times faster on
+    TPU and *more* accurate in f32 (two-stage summation).  Exact same
+    partition sums as ``jnp.cumsum`` within each block.
+    """
+    axis = axis % x.ndim
+    if x.shape[axis] <= 2 * block:
+        return jnp.cumsum(x, axis=axis)
+    x = jnp.moveaxis(x, axis, -1)
+    n = x.shape[-1]
+    nb = -(-n // block)
+    xb = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, nb * block - n)])
+    xb = xb.reshape(x.shape[:-1] + (nb, block))
+    tri = jnp.triu(jnp.ones((block, block), x.dtype))
+    within = jnp.dot(xb, tri, precision=jax.lax.Precision.HIGHEST)
+    totals = within[..., -1]
+    carry = jnp.cumsum(totals, axis=-1) - totals  # exclusive block carry
+    out = (within + carry[..., None]).reshape(x.shape[:-1] + (nb * block,))
+    return jnp.moveaxis(out[..., :n], -1, axis)
+
+
 def _moving_mean_square(x2_mean, look, hop=1):
     """mean(x²) over frames [i-look, i), sampled every ``hop`` frames.
 
@@ -54,7 +79,7 @@ def _moving_mean_square(x2_mean, look, hop=1):
     n = x2_mean.shape[0]
     dt = x2_mean.dtype
     if hop == 1:
-        csum = jnp.concatenate([jnp.zeros((1,), dt), jnp.cumsum(x2_mean)])
+        csum = jnp.concatenate([jnp.zeros((1,), dt), cumsum_mxu(x2_mean)])
         hi = csum[:n]
         pad = min(look, n)
         lo = jnp.concatenate([jnp.zeros((pad,), dt), csum[: n - pad]])
@@ -67,7 +92,7 @@ def _moving_mean_square(x2_mean, look, hop=1):
     # hop× less sequential-scan work and better f32 summation accuracy
     # (two-stage summation), same values by partition.
     xb = jnp.pad(x2_mean, (0, t * hop - n)).reshape(t, hop).sum(axis=1)
-    hi = jnp.concatenate([jnp.zeros((1,), dt), jnp.cumsum(xb)])[:t]
+    hi = jnp.concatenate([jnp.zeros((1,), dt), cumsum_mxu(xb)])[:t]
     pad = min(look_eff // hop, t)
     lo = jnp.concatenate([jnp.zeros((pad,), dt), hi[: t - pad]])
     cnt = jnp.minimum(jnp.arange(t) * hop, look_eff).clip(1)
@@ -131,7 +156,7 @@ def detector_stats_bands(bands, sample_rate, thresholds_db, ratios,
 
     if hop == 1:
         csum = jnp.concatenate(
-            [jnp.zeros((b, 1), dt), jnp.cumsum(x2, axis=1)], axis=1)
+            [jnp.zeros((b, 1), dt), cumsum_mxu(x2, axis=1)], axis=1)
         hi_rows = csum[:, :n]
         t = n
         grid = 1
@@ -139,7 +164,7 @@ def detector_stats_bands(bands, sample_rate, thresholds_db, ratios,
         t = -(-n // hop)
         xb = jnp.pad(x2, ((0, 0), (0, t * hop - n))).reshape(b, t, hop).sum(-1)
         hi_rows = jnp.concatenate(
-            [jnp.zeros((b, 1), dt), jnp.cumsum(xb, axis=1)], axis=1)[:, :t]
+            [jnp.zeros((b, 1), dt), cumsum_mxu(xb, axis=1)], axis=1)[:, :t]
         grid = hop
 
     ms_cols = []

@@ -218,6 +218,45 @@ def _blocked_operators_static(sos_bytes, k, block_size):
     return t_mat, g, w, al
 
 
+@functools.lru_cache(maxsize=64)
+def _boundary_operators_static(sos_bytes, k, block_size, group):
+    """Static operators for the two-level boundary-state recurrence.
+
+    The block-boundary recurrence ``s[b+1] = AL s[b] + t[b]`` has a
+    CONSTANT matrix, so it needs no matrix associative scan over data (the
+    log-depth scan over ``(nb, S, S)`` products was the dominant cost of a
+    blocked filter pass — 14 passes of tiny layout-hostile matmuls).
+    Instead, group blocks into superblocks of ``M = group``:
+
+      * ``tbig_t`` ((M·S, M·S), block-lower-triangular of AL powers):
+        ``cum[m] = Σ_{j≤m} AL^{m-j} t[j]`` for a whole superblock as ONE
+        MXU matmul;
+      * ``al_m`` (S, S): ``AL^M`` — advances one superblock (tiny host-length
+        scan over ``nb/M`` superblocks);
+      * ``powers_m`` ((M, S, S)): ``AL^m`` — scatters each superblock's
+        incoming state to its blocks.
+
+    All built in float64 on the host (near-unit-circle poles survive) and
+    cast at use.
+    """
+    import numpy as onp
+
+    _, _, _, al = _blocked_operators_static(sos_bytes, k, block_size)
+    s_dim = al.shape[0]
+    m_grp = group
+    powers = onp.empty((m_grp + 1, s_dim, s_dim))
+    powers[0] = onp.eye(s_dim)
+    for t in range(1, m_grp + 1):
+        powers[t] = al @ powers[t - 1]
+    tbig_t = onp.zeros((m_grp * s_dim, m_grp * s_dim))
+    for j in range(m_grp):
+        for m in range(j, m_grp):
+            # cum_flat = t_flat @ tbig_t ⇒ tbig_t[j·S+sj, m·S+sm] = AL^{m-j}[sm, sj]
+            tbig_t[j * s_dim:(j + 1) * s_dim, m * s_dim:(m + 1) * s_dim] = \
+                powers[m - j].T
+    return powers[:m_grp], tbig_t, powers[m_grp]
+
+
 def _blocked_operators(sos, block_size):
     """Precompute the dense operators for blocked execution.
 
@@ -272,16 +311,46 @@ def _sosfilt_blocked_1ch(sos, x, s0, block_size, return_state, static_sos=None):
     y0 = jnp.dot(xb, t_mat, precision=_HIGHEST)  # (B, L) zero-state outputs
     t_vec = jnp.dot(xb, g, precision=_HIGHEST)  # (B, S) zero-state end states
 
-    # Boundary-state recurrence s_end[b] = AL @ s_in[b] + t[b] via assoc scan.
-    mats = jnp.broadcast_to(al, (nb, s_dim, s_dim))
-    def combine(left, right):
-        m1, u1 = left
-        m2, u2 = right
-        return (jnp.einsum("...ij,...jk->...ik", m2, m1, precision=_HIGHEST),
-                jnp.einsum("...ij,...j->...i", m2, u1, precision=_HIGHEST) + u2)
-    pmat, pvec = jax.lax.associative_scan(combine, (mats, t_vec))
-    s_after = jnp.einsum("bij,j->bi", pmat, s0, precision=_HIGHEST) + pvec  # (B, S)
-    s_in = jnp.concatenate([s0[None], s_after[:-1]], axis=0)  # state entering each block
+    # Boundary-state recurrence s_end[b] = AL @ s_in[b] + t[b].
+    if static_sos is not None:
+        # Two-level static path: AL is constant, so within superblocks of
+        # M blocks the cumulative state contributions are one MXU matmul
+        # with a precomputed operator; only nb/M superblock handoffs remain
+        # sequential.  Replaces the log-depth matrix associative scan (the
+        # dominant cost of a blocked pass at these shapes).
+        m_grp = 128 if nb >= 128 else max(1, nb)
+        b_ops = _boundary_operators_static(
+            static_sos.astype("float64").tobytes(), static_sos.shape[0], L,
+            m_grp)
+        powers_m, tbig_t, al_m = [jnp.asarray(o, x.dtype) for o in b_ops]
+        nbg = -(-nb // m_grp)
+        t_pad = jnp.pad(t_vec, ((0, nbg * m_grp - nb), (0, 0)))
+        cum = jnp.dot(t_pad.reshape(nbg, m_grp * s_dim), tbig_t,
+                      precision=_HIGHEST).reshape(nbg, m_grp, s_dim)
+
+        def gstep(s, cum_last):
+            return jnp.einsum("ij,j->i", al_m, s, precision=_HIGHEST) \
+                + cum_last, s
+        _, sg_in = jax.lax.scan(gstep, s0, cum[:, m_grp - 1, :])
+        s_in = (jnp.einsum("mij,gj->gmi", powers_m, sg_in, precision=_HIGHEST)
+                + jnp.concatenate([jnp.zeros_like(cum[:, :1]), cum[:, :-1]],
+                                  axis=1)).reshape(nbg * m_grp, s_dim)[:nb]
+        s_last = jnp.einsum("ij,j->i", al, s_in[-1], precision=_HIGHEST) \
+            + t_vec[-1]
+    else:
+        mats = jnp.broadcast_to(al, (nb, s_dim, s_dim))
+        def combine(left, right):
+            m1, u1 = left
+            m2, u2 = right
+            return (jnp.einsum("...ij,...jk->...ik", m2, m1,
+                               precision=_HIGHEST),
+                    jnp.einsum("...ij,...j->...i", m2, u1,
+                               precision=_HIGHEST) + u2)
+        pmat, pvec = jax.lax.associative_scan(combine, (mats, t_vec))
+        s_after = jnp.einsum("bij,j->bi", pmat, s0,
+                             precision=_HIGHEST) + pvec  # (B, S)
+        s_in = jnp.concatenate([s0[None], s_after[:-1]], axis=0)
+        s_last = s_after[-1]
 
     y = y0 + jnp.dot(s_in, w.T, precision=_HIGHEST)
     y = y.reshape(nb * L)[:n]
@@ -290,7 +359,7 @@ def _sosfilt_blocked_1ch(sos, x, s0, block_size, return_state, static_sos=None):
         return y, s0  # placeholder state (unused)
 
     if pad == 0:
-        s_final = s_after[-1]
+        s_final = s_last
     else:
         # Evolve the last block's incoming state through its valid samples
         # only (padded zeros must not advance the state).  rem is static.

@@ -96,6 +96,46 @@ def _tiny_readback(x):
     np.asarray(leaf[tuple(slice(0, 1) for _ in leaf.shape)])
 
 
+@functools.lru_cache(maxsize=32)
+def _compiled_album(config: ChainConfig):
+    """Per-config jitted album-chunk kernels, cached across calls.
+
+    Fresh ``jax.jit`` wrappers per call would re-trace and re-lower the
+    whole chunk graph on every album (seconds per call — it dominated the
+    steady-state BASELINE config-5 wall time); an album service masters
+    many albums with one config, so cache like ``streaming._compiled``.
+    """
+    from python_audio_mastering_tpu.ops import loudness as loud
+    from python_audio_mastering_tpu.parallel import streaming as strm
+    from python_audio_mastering_tpu.ops.waveshaper import (
+        soft_limiter, soft_limiter_legacy)
+
+    fx = jax.jit(functools.partial(_fx_chunk_batched, config=config),
+                 static_argnames=("first",))
+    cell_len = int(round(0.1 * config.sample_rate))
+
+    def track_gain(cells, n_valid, target):
+        mask = jnp.arange(cells.shape[0]) < (n_valid // cell_len)
+        measured = loud.loudness_from_cells(cells, cell_mask=mask)
+        g = 10.0 ** ((target - measured) / 20.0)
+        return jnp.where(jnp.isfinite(measured), g, 1.0), measured
+
+    gains_fn = jax.jit(jax.vmap(track_gain))
+
+    limiter = soft_limiter if config.variant == "worker" else soft_limiter_legacy
+
+    @functools.partial(jax.jit, static_argnames=("emit_i16",))
+    def finalize(chunk, g, emit_i16=False):
+        y = limiter(chunk * g[:, None, None],
+                    threshold=config.limiter_threshold)
+        if emit_i16:
+            return jnp.clip(jnp.round(y * strm.PCM16_SCALE),
+                            -32768.0, 32767.0).astype(jnp.int16)
+        return y
+
+    return fx, gains_fn, finalize
+
+
 def master_album_streamed(tracks: Sequence[np.ndarray], params,
                           config: ChainConfig, mesh=None,
                           chunk_seconds: float = 30.0, progress_cb=None,
@@ -119,10 +159,7 @@ def master_album_streamed(tracks: Sequence[np.ndarray], params,
     import dataclasses as _dc
     import time as _time
 
-    from python_audio_mastering_tpu.ops import loudness as loud
     from python_audio_mastering_tpu.parallel import streaming as strm
-    from python_audio_mastering_tpu.ops.waveshaper import (
-        soft_limiter, soft_limiter_legacy)
 
     if transfer not in ("float32", "pcm16"):
         raise ValueError(f"unknown transfer format {transfer!r}")
@@ -151,8 +188,7 @@ def master_album_streamed(tracks: Sequence[np.ndarray], params,
     num_chunks = max(1, -(-n // chunk_frames))
     dtype = config.jnp_dtype()
 
-    fx = jax.jit(functools.partial(_fx_chunk_batched, config=config),
-                 static_argnames=("first",))
+    fx, gains_fn, finalize = _compiled_album(config)
 
     state = strm.StreamState()  # replaced by per-track states after chunk 0
     processed = []
@@ -192,10 +228,16 @@ def master_album_streamed(tracks: Sequence[np.ndarray], params,
                                       c_arr.shape[2]), c_arr.dtype)], axis=1)
             return jax.device_put(to_wire(c_arr), sharding)
 
-    if timings is not None and device_resident:
-        _tiny_readback(x_dev)  # barrier: isolate the h2d upload time
-        timings["h2d_s"] = _time.perf_counter() - t_start
-        timings["wire_bytes_in"] = batch_bytes
+    if device_resident:
+        # Phase barrier after the upload.  Besides isolating h2d time for
+        # the ``timings`` breakdown, this is a throughput win on RPC-tunneled
+        # links: flooding the stream with the whole async pipeline (upload +
+        # 10 chunk graphs + readback) measurably degrades the link (~2x
+        # end-to-end vs phase-serialized on the tunneled bench chip).
+        _tiny_readback(x_dev)
+        if timings is not None:
+            timings["h2d_s"] = _time.perf_counter() - t_start
+            timings["wire_bytes_in"] = batch_bytes
         t_start = _time.perf_counter()
 
     next_dev = chunk_at(0)
@@ -210,7 +252,6 @@ def master_album_streamed(tracks: Sequence[np.ndarray], params,
             progress_cb(f"Processed chunk {i + 1}/{num_chunks} "
                         f"({batch.shape[0]} tracks)...")
 
-    cell_len = int(round(0.1 * config.sample_rate))
     all_cells = jnp.concatenate(cells_list, axis=1)  # (T, cells, C)
     dev_lengths = jnp.concatenate(
         [jnp.asarray(lengths),
@@ -218,32 +259,16 @@ def master_album_streamed(tracks: Sequence[np.ndarray], params,
         if batch.shape[0] != t0 else jnp.asarray(lengths)
 
     if stacked.lufs_enabled:
-        def track_gain(cells, n_valid, target):
-            mask = jnp.arange(cells.shape[0]) < (n_valid // cell_len)
-            measured = loud.loudness_from_cells(cells, cell_mask=mask)
-            g = 10.0 ** ((target - measured) / 20.0)
-            return jnp.where(jnp.isfinite(measured), g, 1.0), measured
-
-        gains, measured = jax.jit(jax.vmap(track_gain))(
+        gains, measured = gains_fn(
             all_cells, dev_lengths, jnp.asarray(stacked.lufs, dtype))
     else:
         gains = jnp.ones((batch.shape[0],), dtype)
         measured = jnp.full((batch.shape[0],), jnp.nan, dtype)
 
-    limiter = soft_limiter if config.variant == "worker" else soft_limiter_legacy
-
-    @functools.partial(jax.jit, static_argnames=("emit_i16",))
-    def finalize(chunk, g, emit_i16=False):
-        y = limiter(chunk * g[:, None, None],
-                    threshold=config.limiter_threshold)
-        if emit_i16:
-            return jnp.clip(jnp.round(y * strm.PCM16_SCALE),
-                            -32768.0, 32767.0).astype(jnp.int16)
-        return y
-
     finalized = [finalize(y, gains, emit_i16=pcm16) for y in processed]
+    # Compute-phase barrier before the bulk readback (see h2d barrier note).
+    _tiny_readback(finalized[-1])
     if timings is not None:
-        _tiny_readback(finalized[-1])  # barrier: isolate device compute time
         timings["compute_s"] = _time.perf_counter() - t_start
         t_start = _time.perf_counter()
     if device_resident:

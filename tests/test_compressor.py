@@ -106,3 +106,33 @@ def test_legacy_split_matches_reference_topology():
     mid_ref = sps.sosfilt(lp4k, sps.sosfilt(hp250, x, axis=0), axis=0)
     np.testing.assert_allclose(np.asarray(bands[1]), mid_ref, rtol=1e-8,
                                atol=1e-10)
+
+
+@pytest.mark.parametrize("n,axis", [(100, -1), (2048, -1), (5000, -1),
+                                    (65537, -1), (4096, 0)])
+def test_cumsum_mxu_matches_jnp_cumsum(n, axis):
+    """The blocked-MXU cumsum must agree with jnp.cumsum at every length
+    regime: below the passthrough threshold, exact block multiples, ragged
+    tails, and a non-default axis."""
+    import jax.numpy as jnp
+    rng = np.random.default_rng(n)
+    shape = (n,) if axis == -1 else (n, 3)
+    x = rng.standard_normal(shape).astype(np.float64)
+    got = np.asarray(comp.cumsum_mxu(jnp.asarray(x), axis=axis))
+    np.testing.assert_allclose(got, np.cumsum(x, axis=axis),
+                               rtol=1e-12, atol=1e-9)
+
+
+def test_cumsum_mxu_float32_accuracy_vs_naive():
+    """In float32 the two-stage blocked summation should be at least as
+    accurate as a naive sequential cumsum over ~1M elements (it is the
+    detector's summation path at tpu_default shapes)."""
+    import jax.numpy as jnp
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(1_000_000)
+    exact = np.cumsum(x)  # float64 reference
+    blocked = np.asarray(comp.cumsum_mxu(jnp.asarray(x, jnp.float32)))
+    naive = np.cumsum(x.astype(np.float32), dtype=np.float32)
+    denom = np.maximum(np.abs(exact), 1.0)
+    assert np.max(np.abs(blocked - exact) / denom) \
+        <= np.max(np.abs(naive - exact) / denom) * 1.5

@@ -117,3 +117,21 @@ def test_float32_blocked_accuracy_within_chain_tolerance():
     err = np.abs(np.asarray(y_blk, dtype=np.float64) - y64)
     scale = np.max(np.abs(y64))
     assert np.max(err) / scale < 2e-4
+
+
+def test_blocked_superblock_boundary_path_long_signal():
+    """The two-level boundary recurrence (static SOS, nb >= 128 blocks →
+    superblocks of 128) must match the scan exactly, including at a block
+    count that is not a multiple of the superblock size and with a ragged
+    final block (n not a multiple of block_size)."""
+    sos = _eq_cascade()
+    # block_size=512 → nb = 391 blocks (= 3×128 + 7), final block ragged
+    n = 200_000
+    x = make_signal(n, channels=2)
+    zi = np.random.default_rng(11).standard_normal((sos.shape[0], 2, 2)) * 0.05
+    y_scan, zf_scan = iir.sosfilt_scan(sos, x, zi=zi)
+    y_blk, zf_blk = iir.sosfilt_blocked(sos, x, zi=zi, block_size=512)
+    np.testing.assert_allclose(np.asarray(y_blk), np.asarray(y_scan),
+                               rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(zf_blk), np.asarray(zf_scan),
+                               rtol=1e-7, atol=1e-9)
