@@ -55,6 +55,29 @@ def _time_fn(fn, *args, reps=3):
     return best, out
 
 
+def _time_fn_pipelined(fn, *args, k=10):
+    """Steady-state throughput: k back-to-back dispatches, one sync.
+
+    Single-call timing on this platform pays a full host↔device RPC round
+    trip (~65 ms measured via an identity jit — larger than the device
+    time of most configs); a mastering service keeps the dispatch queue
+    full, so per-call time with the pipeline warm is the capacity number.
+    Reported alongside single-call latency, never instead of it.
+    """
+    import jax
+
+    out = fn(*args)
+    _sync(out)
+    outs = [fn(*args) for _ in range(3)]  # fill the pipeline
+    jax.block_until_ready(outs)
+    _sync(outs[-1])
+    t0 = time.perf_counter()
+    outs = [fn(*args) for _ in range(k)]
+    jax.block_until_ready(outs)
+    _sync(outs[-1])
+    return (time.perf_counter() - t0) / k
+
+
 # Peak-rate assumptions for the roofline (TPU v5e / "v5 lite": 197 TFLOP/s
 # bf16 MXU, 819 GB/s HBM).  The chain runs float32, so mfu is reported
 # against the bf16 MXU peak — a deliberately conservative denominator; the
@@ -120,8 +143,17 @@ def main():
     wall, _ = _time_fn(fn, audio, params)
     rtf = seconds / wall
     dev = details["device"]
+    # context: the single-call wall includes one host↔device RPC round trip
+    # on this tunneled chip; the identity-jit floor quantifies it, and the
+    # pipelined number is the steady-state per-track capacity of the chip
+    floor, _ = _time_fn(jax.jit(lambda a: a * 1.0000001), audio)
+    wall_pipe = _time_fn_pipelined(fn, audio, params)
+    details["dispatch_floor_s"] = round(floor, 4)
     details["configs"]["full_chain_3min"] = {
-        "wall_s": wall, "rtf": rtf, **_roofline(fn, (audio, params), wall, dev)}
+        "wall_s": wall, "rtf": rtf,
+        "wall_s_pipelined": round(wall_pipe, 4),
+        "rtf_throughput_pipelined": round(seconds / wall_pipe, 1),
+        **_roofline(fn, (audio, params), wall_pipe, dev)}
 
     headline = {
         "metric": "realtime_factor_full_chain_3min_1chip",
@@ -183,9 +215,12 @@ def main():
         # (4) full chain incl. multiband, 5-min
         a5 = jnp.asarray(_mk_audio(300.0, seed=1))
         wall, _ = _time_fn(fn, a5, params)
+        wall_pipe5 = _time_fn_pipelined(fn, a5, params)
         details["configs"]["full_chain_5min"] = {
             "wall_s": wall, "rtf": 300.0 / wall,
-            **_roofline(fn, (a5, params), wall, dev)}
+            "wall_s_pipelined": round(wall_pipe5, 4),
+            "rtf_throughput_pipelined": round(300.0 / wall_pipe5, 1),
+            **_roofline(fn, (a5, params), wall_pipe5, dev)}
 
         # (5) batched album: 12 tracks × 5 min (60 min total), chunked
         # double-buffered streaming with progress callbacks, one chip.

@@ -143,26 +143,37 @@ def detector_stats_bands(bands, sample_rate, thresholds_db, ratios,
     per-row summation order equals the single-band path's.
 
     Args:
-      bands: ``(B, N, C)`` band signals.
+      bands: ``(B, N, C)`` band signals, or a sequence of B ``(N, C)``
+        arrays.  The sequence form is the hot path: per-band squared means
+        fuse into each band's producer instead of forcing a stacked
+        ``(B, N, C)`` materialization (see multiband._crossover_bands).
       thresholds_db / ratios: length-B (traced OK).
       attacks_ms / releases_ms: length-B static floats.
 
     Returns dict of ``(T, B)`` arrays (``attenuation_scan``'s stacked
     layout): ``max_att``, ``above``, ``inc``, ``dec``.
     """
-    b, n, _ = bands.shape
-    dt = bands.dtype
-    x2 = (bands * bands).mean(axis=2)  # (B, N)
+    if hasattr(bands, "ndim"):
+        bands = [bands[i] for i in range(bands.shape[0])]
+    b = len(bands)
+    n = bands[0].shape[0]
+    dt = bands[0].dtype
+    x2_rows = [(x * x).mean(axis=1) for x in bands]  # B × (N,)
 
     if hop == 1:
         csum = jnp.concatenate(
-            [jnp.zeros((b, 1), dt), cumsum_mxu(x2, axis=1)], axis=1)
+            [jnp.zeros((b, 1), dt),
+             cumsum_mxu(jnp.stack(x2_rows), axis=1)], axis=1)
         hi_rows = csum[:, :n]
         t = n
         grid = 1
     else:
+        # bucket each band to the control rate FIRST (a (T,) array), then
+        # stack: all stacked work is control-rate, never sample-rate
         t = -(-n // hop)
-        xb = jnp.pad(x2, ((0, 0), (0, t * hop - n))).reshape(b, t, hop).sum(-1)
+        xb = jnp.stack([
+            jnp.pad(r, (0, t * hop - n)).reshape(t, hop).sum(-1)
+            for r in x2_rows])
         hi_rows = jnp.concatenate(
             [jnp.zeros((b, 1), dt), cumsum_mxu(xb, axis=1)], axis=1)[:, :t]
         grid = hop

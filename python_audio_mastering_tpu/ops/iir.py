@@ -292,6 +292,38 @@ def _blocked_operators(sos, block_size):
     return t_mat, g, w, al
 
 
+def _boundary_states_static(t_vec, s0, static_sos, L, nb, al, dtype):
+    """Two-level boundary-state recurrence for static coefficients.
+
+    AL is constant, so within superblocks of M blocks the cumulative state
+    contributions are one MXU matmul with a precomputed operator; only
+    nb/M superblock handoffs remain sequential.  Replaces the log-depth
+    matrix associative scan (the dominant cost of a blocked filter pass at
+    these shapes).  Returns ``(s_in (nb, S), s_last (S,))``.
+    """
+    s_dim = al.shape[0]
+    m_grp = 128 if nb >= 128 else max(1, nb)
+    b_ops = _boundary_operators_static(
+        static_sos.astype("float64").tobytes(), static_sos.shape[0], L,
+        m_grp)
+    powers_m, tbig_t, al_m = [jnp.asarray(o, dtype) for o in b_ops]
+    nbg = -(-nb // m_grp)
+    t_pad = jnp.pad(t_vec, ((0, nbg * m_grp - nb), (0, 0)))
+    cum = jnp.dot(t_pad.reshape(nbg, m_grp * s_dim), tbig_t,
+                  precision=_HIGHEST).reshape(nbg, m_grp, s_dim)
+
+    def gstep(s, cum_last):
+        return jnp.einsum("ij,j->i", al_m, s, precision=_HIGHEST) \
+            + cum_last, s
+    _, sg_in = jax.lax.scan(gstep, s0, cum[:, m_grp - 1, :])
+    s_in = (jnp.einsum("mij,gj->gmi", powers_m, sg_in, precision=_HIGHEST)
+            + jnp.concatenate([jnp.zeros_like(cum[:, :1]), cum[:, :-1]],
+                              axis=1)).reshape(nbg * m_grp, s_dim)[:nb]
+    s_last = jnp.einsum("ij,j->i", al, s_in[-1], precision=_HIGHEST) \
+        + t_vec[-1]
+    return s_in, s_last
+
+
 def _sosfilt_blocked_1ch(sos, x, s0, block_size, return_state, static_sos=None):
     n = x.shape[0]
     L = block_size
@@ -308,35 +340,18 @@ def _sosfilt_blocked_1ch(sos, x, s0, block_size, return_state, static_sos=None):
         t_mat, g, w, al = _blocked_operators(sos, L)
     s_dim = al.shape[0]
 
-    y0 = jnp.dot(xb, t_mat, precision=_HIGHEST)  # (B, L) zero-state outputs
-    t_vec = jnp.dot(xb, g, precision=_HIGHEST)  # (B, S) zero-state end states
+    # ONE dot against [T | G]: zero-state outputs and end-state summaries in
+    # a single MXU pass, so the blocks are read from HBM once, not twice
+    # (per-column contractions are unchanged — numerically identical).
+    ytg = jnp.dot(xb, jnp.concatenate([t_mat, g], axis=1),
+                  precision=_HIGHEST)  # (B, L+S)
+    y0 = ytg[:, :L]
+    t_vec = ytg[:, L:]
 
     # Boundary-state recurrence s_end[b] = AL @ s_in[b] + t[b].
     if static_sos is not None:
-        # Two-level static path: AL is constant, so within superblocks of
-        # M blocks the cumulative state contributions are one MXU matmul
-        # with a precomputed operator; only nb/M superblock handoffs remain
-        # sequential.  Replaces the log-depth matrix associative scan (the
-        # dominant cost of a blocked pass at these shapes).
-        m_grp = 128 if nb >= 128 else max(1, nb)
-        b_ops = _boundary_operators_static(
-            static_sos.astype("float64").tobytes(), static_sos.shape[0], L,
-            m_grp)
-        powers_m, tbig_t, al_m = [jnp.asarray(o, x.dtype) for o in b_ops]
-        nbg = -(-nb // m_grp)
-        t_pad = jnp.pad(t_vec, ((0, nbg * m_grp - nb), (0, 0)))
-        cum = jnp.dot(t_pad.reshape(nbg, m_grp * s_dim), tbig_t,
-                      precision=_HIGHEST).reshape(nbg, m_grp, s_dim)
-
-        def gstep(s, cum_last):
-            return jnp.einsum("ij,j->i", al_m, s, precision=_HIGHEST) \
-                + cum_last, s
-        _, sg_in = jax.lax.scan(gstep, s0, cum[:, m_grp - 1, :])
-        s_in = (jnp.einsum("mij,gj->gmi", powers_m, sg_in, precision=_HIGHEST)
-                + jnp.concatenate([jnp.zeros_like(cum[:, :1]), cum[:, :-1]],
-                                  axis=1)).reshape(nbg * m_grp, s_dim)[:nb]
-        s_last = jnp.einsum("ij,j->i", al, s_in[-1], precision=_HIGHEST) \
-            + t_vec[-1]
+        s_in, s_last = _boundary_states_static(
+            t_vec, s0, static_sos, L, nb, al, x.dtype)
     else:
         mats = jnp.broadcast_to(al, (nb, s_dim, s_dim))
         def combine(left, right):
@@ -371,6 +386,105 @@ def _sosfilt_blocked_1ch(sos, x, s0, block_size, return_state, static_sos=None):
 
         s_final, _ = jax.lax.scan(step, s_in[-1], xb[-1, :rem])
     return y, s_final
+
+
+def _sosfilt_blocked_1ch_multi(static_sos_list, x, s0_list, block_size,
+                               return_state):
+    """F independent static cascades over the SAME 1-ch input, one block dot.
+
+    The block view ``xb`` is contracted against the horizontal concat of
+    every filter's ``[T | G]`` operator — the input signal is read from HBM
+    once for all filters instead of once per filter, and the F+F dots
+    collapse into one MXU kernel.  Per-filter boundary recurrences and
+    state-correction outputs are unchanged (numerically identical to F
+    separate :func:`_sosfilt_blocked_1ch` calls).
+    """
+    n = x.shape[0]
+    L = block_size
+    nb = -(-n // L)
+    pad = nb * L - n
+    xb = jnp.pad(x, (0, pad)).reshape(nb, L)
+
+    ops = [_blocked_operators_static(
+        s.astype("float64").tobytes(), s.shape[0], L)
+        for s in static_sos_list]
+    tg_all = jnp.concatenate(
+        [jnp.asarray(np.concatenate([t, g], axis=1), x.dtype)
+         for t, g, _, _ in ops], axis=1)  # (L, Σ_f (L+S_f))
+    ytg = jnp.dot(xb, tg_all, precision=_HIGHEST)
+
+    ys, s_finals = [], []
+    col = 0
+    for f, (sos_np, (t_mat, g, w, al)) in enumerate(zip(static_sos_list, ops)):
+        s_dim = al.shape[1]
+        y0 = ytg[:, col: col + L]
+        t_vec = ytg[:, col + L: col + L + s_dim]
+        col += L + s_dim
+        al_j = jnp.asarray(al, x.dtype)
+        w_j = jnp.asarray(w, x.dtype)
+        s_in, s_last = _boundary_states_static(
+            t_vec, s0_list[f], sos_np, L, nb, al_j, x.dtype)
+        y = y0 + jnp.dot(s_in, w_j.T, precision=_HIGHEST)
+        ys.append(y.reshape(nb * L)[:n])
+        if not return_state:
+            s_finals.append(s0_list[f])
+        elif pad == 0:
+            s_finals.append(s_last)
+        else:
+            rem = n - (nb - 1) * L
+            a, b, _, _ = cascade_state_space(
+                jnp.asarray(sos_np, x.dtype))
+
+            def step(s, x_t, a=a, b=b):
+                return jnp.einsum("ij,j->i", a, s,
+                                  precision=_HIGHEST) + b * x_t, None
+
+            s_f, _ = jax.lax.scan(step, s_in[-1], xb[-1, :rem])
+            s_finals.append(s_f)
+    return tuple(ys), tuple(s_finals)
+
+
+def sosfilt_blocked_multi(sos_list, x, zi_list=None, block_size=512,
+                          return_state=True):
+    """Run F static SOS cascades over the same ``(N, C)`` input in one
+    shared-block MXU pass (see :func:`_sosfilt_blocked_1ch_multi`).
+
+    Coefficients must be concrete (host) arrays — the crossover/K-weighting
+    case.  Returns ``(ys, zfs)``: tuples of per-filter ``(N, C)`` outputs
+    and scipy-layout final states.
+    """
+    squeeze = x.ndim == 1
+    if squeeze:
+        x = x[:, None]
+    n, c = x.shape
+    statics = [np.asarray(s, np.float64) for s in sos_list]
+    dt = x.dtype
+    s0s = []
+    for f, s in enumerate(statics):
+        k = s.shape[0]
+        if zi_list is None or zi_list[f] is None:
+            s0s.append(jnp.zeros((2 * k, c), dtype=dt))
+        else:
+            zi = jnp.asarray(zi_list[f], dtype=dt)
+            if zi.ndim == 2:
+                zi = zi[:, :, None]
+            s0s.append(zi_to_state(zi))
+
+    run = functools.partial(
+        _sosfilt_blocked_1ch_multi, statics,
+        block_size=min(block_size, max(8, n)), return_state=return_state)
+    ys, s_ts = jax.vmap(lambda ch, s0c: run(ch, s0c),
+                        in_axes=(1, 1), out_axes=1)(x, s0s)
+    outs, zfs = [], []
+    for f, s in enumerate(statics):
+        y = ys[f]
+        zf = state_to_zi(s_ts[f], s.shape[0])
+        if squeeze:
+            y = y[:, 0]
+            zf = zf[:, :, 0]
+        outs.append(y)
+        zfs.append(zf)
+    return tuple(outs), tuple(zfs)
 
 
 def sosfilt_blocked(sos, x, zi=None, block_size=512, return_state=True):

@@ -44,6 +44,51 @@ def _crossover_sos(sample_rate, low_crossover, high_crossover):
     return np.asarray(lp), np.asarray(hp)
 
 
+def _crossover_bands(x, sample_rate, variant="worker", low_crossover=250.0,
+                     high_crossover=4000.0, filter_method="auto", zi=None):
+    """Split ``(N, C)`` audio into a ``(low, mid, high)`` TUPLE of bands.
+
+    The tuple form is the hot-path representation: ``jnp.stack`` on three
+    full-length bands lowers to pad+add concatenates that XLA materializes
+    per consumer (~2×570 MB of HBM traffic per 3-min track, measured in the
+    compiled HLO) — keeping bands separate lets each one fuse into its
+    detector/recombine consumers instead.
+    """
+    lp_sos, hp_sos = _crossover_sos(sample_rate, low_crossover, high_crossover)
+    zi = zi or {}
+    run = functools.partial(iir.sosfilt, method=filter_method)
+    blocked = filter_method == "blocked" or (
+        filter_method == "auto" and x.shape[0] >= 4 * 512)
+
+    if variant == "worker":
+        if blocked:
+            # shared-block pass: x is read once for both crossover filters
+            (low, high), (z_lp, z_hp) = iir.sosfilt_blocked_multi(
+                (lp_sos, hp_sos), x, (zi.get("lp"), zi.get("hp")))
+        else:
+            low, z_lp = run(lp_sos, x, zi.get("lp"))
+            high, z_hp = run(hp_sos, x, zi.get("hp"))
+        mid = x - low - high
+        zf = {"lp": z_lp, "hp": z_hp}
+    elif variant == "legacy":
+        hp_low = butter_sos(4, low_crossover, "highpass", fs=sample_rate)
+        lp_high = butter_sos(4, high_crossover, "lowpass", fs=sample_rate)
+        if blocked:
+            # lp/hp/mid-hp all read x — one shared-block pass for the three
+            (low, high, mid1), (z_lp, z_hp, z_m1) = iir.sosfilt_blocked_multi(
+                (lp_sos, hp_sos, hp_low), x,
+                (zi.get("lp"), zi.get("hp"), zi.get("mid_hp")))
+        else:
+            low, z_lp = run(lp_sos, x, zi.get("lp"))
+            high, z_hp = run(hp_sos, x, zi.get("hp"))
+            mid1, z_m1 = run(hp_low, x, zi.get("mid_hp"))
+        mid, z_m2 = run(lp_high, mid1, zi.get("mid_lp"))
+        zf = {"lp": z_lp, "hp": z_hp, "mid_hp": z_m1, "mid_lp": z_m2}
+    else:
+        raise ValueError(f"unknown crossover variant {variant!r}")
+    return (low, mid, high), zf
+
+
 def crossover_split(x, sample_rate, variant="worker", low_crossover=250.0,
                     high_crossover=4000.0, filter_method="auto", zi=None):
     """Split ``(N, C)`` audio into (low, mid, high), stacked as ``(3, N, C)``.
@@ -51,26 +96,11 @@ def crossover_split(x, sample_rate, variant="worker", low_crossover=250.0,
     ``zi``: optional carried crossover filter state (pytree of per-filter
     states) for chunked streaming.  Returns ``(bands, zf)``.
     """
-    lp_sos, hp_sos = _crossover_sos(sample_rate, low_crossover, high_crossover)
-    zi = zi or {}
-    run = functools.partial(iir.sosfilt, method=filter_method)
-
-    if variant == "worker":
-        low, z_lp = run(lp_sos, x, zi.get("lp"))
-        high, z_hp = run(hp_sos, x, zi.get("hp"))
-        mid = x - low - high
-        zf = {"lp": z_lp, "hp": z_hp}
-    elif variant == "legacy":
-        low, z_lp = run(lp_sos, x, zi.get("lp"))
-        high, z_hp = run(hp_sos, x, zi.get("hp"))
-        hp_low = butter_sos(4, low_crossover, "highpass", fs=sample_rate)
-        lp_high = butter_sos(4, high_crossover, "lowpass", fs=sample_rate)
-        mid1, z_m1 = run(hp_low, x, zi.get("mid_hp"))
-        mid, z_m2 = run(lp_high, mid1, zi.get("mid_lp"))
-        zf = {"lp": z_lp, "hp": z_hp, "mid_hp": z_m1, "mid_lp": z_m2}
-    else:
-        raise ValueError(f"unknown crossover variant {variant!r}")
-    return jnp.stack([low, mid, high]), zf
+    bands, zf = _crossover_bands(x, sample_rate, variant=variant,
+                                 low_crossover=low_crossover,
+                                 high_crossover=high_crossover,
+                                 filter_method=filter_method, zi=zi)
+    return jnp.stack(list(bands)), zf
 
 
 def detector_lookpad(sample_rate, hop=1):
@@ -106,15 +136,16 @@ def multiband_compress(x, sample_rate, thresholds_db, ratios, variant="worker",
         x = x[:, None]
     n, c = x.shape
     state = state or {}
-    bands, zf = crossover_split(x, sample_rate, variant=variant,
-                                low_crossover=low_crossover,
-                                high_crossover=high_crossover,
-                                filter_method=filter_method,
-                                zi=state.get("crossover"))
+    bands, zf = _crossover_bands(x, sample_rate, variant=variant,
+                                 low_crossover=low_crossover,
+                                 high_crossover=high_crossover,
+                                 filter_method=filter_method,
+                                 zi=state.get("crossover"))
 
     tail = state.get("tail")
     look_pad = detector_lookpad(sample_rate, hop)
-    det_bands = bands if tail is None else jnp.concatenate([tail, bands], axis=1)
+    det_bands = bands if tail is None else tuple(
+        jnp.concatenate([tail[i], b]) for i, b in enumerate(bands))
     skip_ctrl = 0 if tail is None else look_pad // hop
 
     # Detectors: one batched pass over all 3 bands (different lookback
@@ -148,17 +179,27 @@ def multiband_compress(x, sample_rate, thresholds_db, ratios, variant="worker",
     else:
         att, att_f = comp.attenuation_scan(stacked, att0)
 
-    if hop > 1:
-        att = jnp.repeat(att, hop, axis=0)[:n]
-    gains = 10.0 ** (-att / 20.0)  # (N, 3)
-    # broadcast-multiply-sum (NOT einsum: XLA lowers "bnc,nb->nc" as N tiny
-    # batched matmuls with terrible layout — this fuses to one HBM pass)
-    y = (bands * gains.T[:, :, None]).sum(axis=0)
+    gains = 10.0 ** (-att / 20.0)  # (T, 3) control-rate
+    # Per-band repeat+multiply, accumulated into ONE output fusion.  The
+    # repeat (broadcast+reshape) fuses into the multiply; keeping bands as
+    # separate arrays avoids any (3, N, C) materialization (NOT einsum
+    # either: XLA lowers "bnc,nb->nc" as N tiny batched matmuls).
+    def band_gain(i):
+        g = gains[:, i]
+        if hop > 1:
+            g = jnp.repeat(g, hop, axis=0)[:n]
+        return g[:, None]
+
+    y = sum(b * band_gain(i) for i, b in enumerate(bands))
     if squeeze:
         y = y[:, 0]
     if return_state:
-        new_tail = bands[:, -look_pad:, :] if n >= look_pad else jnp.concatenate(
-            [tail if tail is not None else jnp.zeros((3, look_pad, c), x.dtype),
-             bands], axis=1)[:, -look_pad:, :]
+        stacked_bands = jnp.stack(
+            [b[-look_pad:] for b in bands]) if n >= look_pad else None
+        new_tail = stacked_bands if stacked_bands is not None \
+            else jnp.concatenate(
+                [tail if tail is not None
+                 else jnp.zeros((3, look_pad, c), x.dtype),
+                 jnp.stack(list(bands))], axis=1)[:, -look_pad:, :]
         return y, {"crossover": zf, "att": att_f, "tail": new_tail}
     return y

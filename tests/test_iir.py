@@ -135,3 +135,24 @@ def test_blocked_superblock_boundary_path_long_signal():
                                rtol=1e-8, atol=1e-10)
     np.testing.assert_allclose(np.asarray(zf_blk), np.asarray(zf_scan),
                                rtol=1e-7, atol=1e-9)
+
+
+def test_blocked_multi_matches_individual_passes():
+    """The shared-block multi-filter pass must equal separate blocked calls
+    for every filter, including carried state and a ragged final block."""
+    lp = biquad.butter_sos(4, 250, "lowpass", fs=44100)
+    hp = biquad.butter_sos(4, 4000, "highpass", fs=44100)
+    x = make_signal(10_000, channels=2)
+    zi_lp = np.random.default_rng(5).standard_normal((2, 2, 2)) * 0.05
+    (y_lp, y_hp), (zf_lp, zf_hp) = iir.sosfilt_blocked_multi(
+        (lp, hp), x, (zi_lp, None))
+    y_lp_ref, zf_lp_ref = iir.sosfilt_blocked(lp, x, zi=zi_lp)
+    y_hp_ref, zf_hp_ref = iir.sosfilt_blocked(hp, x)
+    np.testing.assert_allclose(np.asarray(y_lp), np.asarray(y_lp_ref),
+                               rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(y_hp), np.asarray(y_hp_ref),
+                               rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(zf_lp), np.asarray(zf_lp_ref),
+                               rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(zf_hp), np.asarray(zf_hp_ref),
+                               rtol=1e-8, atol=1e-10)
