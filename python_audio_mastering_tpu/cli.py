@@ -109,6 +109,28 @@ def cmd_measure(args):
     return 0
 
 
+def cmd_resample(args):
+    import numpy as np
+
+    from python_audio_mastering_tpu.io import wavio
+    from python_audio_mastering_tpu.ops import resample as rs
+
+    try:
+        audio, fs = wavio.read_audio(args.input)
+    except (OSError, ValueError) as e:
+        print(f"ERROR: cannot read {args.input}: {e}")
+        return 1
+    if fs == args.rate:
+        print(f"{args.input} is already at {fs} Hz")
+        out = np.asarray(audio)
+    else:
+        out = np.asarray(rs.resample(audio, fs, args.rate))
+        print(f"Resampled {fs} -> {args.rate} Hz "
+              f"({audio.shape[0]} -> {out.shape[0]} frames)")
+    wavio.write_wav(args.output, out, args.rate)
+    return 0
+
+
 def cmd_serve(args):
     import os
 
@@ -164,6 +186,14 @@ def main(argv=None):
     p = sub.add_parser("measure", help="measure integrated loudness")
     p.add_argument("input")
     p.set_defaults(fn=cmd_measure)
+
+    p = sub.add_parser("resample",
+                       help="convert a file's sample rate (polyphase)")
+    p.add_argument("input")
+    p.add_argument("output")
+    p.add_argument("--rate", type=int, required=True,
+                   help="target sample rate in Hz (e.g. 48000)")
+    p.set_defaults(fn=cmd_resample)
 
     p = sub.add_parser("serve", help="run the local job API + worker")
     p.add_argument("--port", type=int, default=8080)

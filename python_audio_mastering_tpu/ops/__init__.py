@@ -40,3 +40,10 @@ from python_audio_mastering_tpu.ops.meters import (
     loudness_range,
     true_peak_db,
 )
+# NOTE: the bare `resample` function is deliberately NOT re-exported here —
+# it would shadow the `ops.resample` submodule attribute.  Use
+# `ops.resample.resample` or the re-exported `resample_poly`.
+from python_audio_mastering_tpu.ops.resample import (
+    design_resample_taps,
+    resample_poly,
+)

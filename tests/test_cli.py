@@ -65,3 +65,22 @@ def test_missing_input_returns_error(tmp_path, capsys):
     rc = cli.main(["master", str(tmp_path / "nope.wav"),
                    str(tmp_path / "o.wav")])
     assert rc == 1
+
+
+def test_cli_resample(tmp_path):
+    import numpy as np
+
+    from python_audio_mastering_tpu import cli
+    from python_audio_mastering_tpu.io import wavio
+
+    fs = 44100
+    t = np.arange(fs) / fs
+    x = np.stack([np.sin(2 * np.pi * 440 * t)] * 2, axis=1).astype(np.float32)
+    src = tmp_path / "in.wav"
+    dst = tmp_path / "out.wav"
+    wavio.write_wav(str(src), x, fs)
+    rc = cli.main(["resample", str(src), str(dst), "--rate", "48000"])
+    assert rc == 0
+    y, fs_out = wavio.read_wav(str(dst))
+    assert fs_out == 48000
+    assert y.shape[0] == -(-fs * 160 // 147)
