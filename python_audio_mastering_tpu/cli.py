@@ -35,6 +35,8 @@ def _add_settings_args(p):
     for band in ("low", "mid", "high"):
         p.add_argument(f"--{band}-thresh", type=float, default=None)
         p.add_argument(f"--{band}-ratio", type=float, default=None)
+    p.add_argument("--output-rate", type=int, default=None,
+                   help="resample the mastered output to this rate in Hz")
     p.add_argument("--variant", choices=["worker", "legacy"], default="worker")
     p.add_argument("--exact", action="store_true",
                    help="bit-exact contract mode (slower; default is the "
@@ -53,6 +55,8 @@ def _settings_from_args(args) -> dict:
         v = getattr(args, k)
         if v is not None:
             s[k] = v
+    if getattr(args, "output_rate", None):
+        s["output_sample_rate"] = args.output_rate
     return s
 
 

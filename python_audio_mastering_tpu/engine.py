@@ -62,6 +62,20 @@ def _run_chain(audio: np.ndarray, sample_rate: int, settings: dict,
     return out
 
 
+def _maybe_resample(out: np.ndarray, fs: int, settings: dict, cb):
+    """Optional output-rate conversion (framework extension; the reference
+    always exports at the source rate).  ``settings["output_sample_rate"]``:
+    absent/None/equal to the source rate → no-op."""
+    target = settings.get("output_sample_rate")
+    if not target or int(target) == fs:
+        return out, fs
+    target = int(target)
+    cb(f"Resampling {fs} -> {target} Hz...")
+    from python_audio_mastering_tpu.ops import resample as rs
+
+    return np.asarray(rs.resample(out, fs, target)), target
+
+
 def process_audio(settings: dict, status_callback=None,
                   config: ChainConfig | None = None) -> bool:
     """Desktop single-file engine (GUI contract).  Returns success."""
@@ -76,6 +90,7 @@ def process_audio(settings: dict, status_callback=None,
         audio, fs = wavio.read_audio(in_path)
         cb("Processing audio in chunks...")
         out = _run_chain(audio, fs, settings, progress_cb=cb, config=config)
+        out, fs = _maybe_resample(out, fs, settings, cb)
         cb("Exporting...")
         wavio.write_audio(out_path, out, fs)
         cb(f"Processing complete! Saved to {out_path}")
@@ -138,6 +153,7 @@ def process_audio_from_uri(uri: str, settings: dict,
     out = _run_chain(audio, fs, settings,
                      progress_cb=progress_cb or (lambda m: print(m)),
                      config=config)
+    out, fs = _maybe_resample(out, fs, settings, print)
     output_key = f"processed/mastered_{os.path.basename(key)}"
     print(f"Exporting and uploading processed audio to {output_key}...")
     buf = io.BytesIO()

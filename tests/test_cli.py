@@ -84,3 +84,15 @@ def test_cli_resample(tmp_path):
     y, fs_out = wavio.read_wav(str(dst))
     assert fs_out == 48000
     assert y.shape[0] == -(-fs * 160 // 147)
+
+
+def test_cli_master_output_rate(tmp_path, in_wav):
+    from python_audio_mastering_tpu import cli
+    from python_audio_mastering_tpu.io import wavio
+
+    out = str(tmp_path / "m48.wav")
+    rc = cli.main(["master", in_wav, out, "--no-lufs", "--exact",
+                   "--output-rate", "48000"])
+    assert rc == 0
+    y, fs = wavio.read_wav(out)
+    assert fs == 48000

@@ -97,3 +97,47 @@ def test_process_audio_from_uri_blob_contract(tmp_path):
     assert store.exists(out_key + ".complete")
     out, fs = wavio.read_wav(store.download(out_key))
     assert fs == FS
+
+
+def test_process_audio_output_sample_rate(tmp_path):
+    """Optional output_sample_rate setting resamples before export
+    (framework extension; absent key = reference behavior, source rate)."""
+    in_path = str(tmp_path / "in.wav")
+    out_path = str(tmp_path / "out48.wav")
+    _write_input(in_path)
+    msgs = []
+    ok = engine.process_audio(
+        {"input_file": in_path, "output_file": out_path, "lufs": -16.0,
+         "output_sample_rate": 48000},
+        status_callback=msgs.append, config=FAST_CFG)
+    assert ok
+    out, fs = wavio.read_wav(out_path)
+    assert fs == 48000
+    assert out.shape[0] == -(-FS * 160 // 147)
+    assert any("Resampling" in m for m in msgs)
+    # no-op when equal to the source rate
+    out_path2 = str(tmp_path / "out44.wav")
+    ok = engine.process_audio(
+        {"input_file": in_path, "output_file": out_path2, "lufs": -16.0,
+         "output_sample_rate": FS},
+        status_callback=None, config=FAST_CFG)
+    assert ok
+    _, fs2 = wavio.read_wav(out_path2)
+    assert fs2 == FS
+
+
+def test_process_audio_from_uri_output_sample_rate(tmp_path):
+    """The cloud path honors output_sample_rate too."""
+    store = LocalFSBlobStore(str(tmp_path / "bucket"))
+    x = (make_signal(FS, seed=3) * 0.4).astype(np.float32)
+    import io as _io
+    buf = _io.BytesIO()
+    wavio.write_wav(buf, x, FS)
+    store.upload("uploads/t.wav", buf.getvalue())
+    key = engine.process_audio_from_uri(
+        "local://bucket/uploads/t.wav",
+        {"lufs": -16.0, "output_sample_rate": 48000},
+        store=store, config=FAST_CFG)
+    out, fs = wavio.read_wav(store.download(key))
+    assert fs == 48000
+    assert out.shape[0] == -(-FS * 160 // 147)
