@@ -131,7 +131,12 @@ def cmd_resample(args):
         out = np.asarray(rs.resample(audio, fs, args.rate))
         print(f"Resampled {fs} -> {args.rate} Hz "
               f"({audio.shape[0]} -> {out.shape[0]} frames)")
-    wavio.write_wav(args.output, out, args.rate)
+    # extension-aware container (float32 WAV intermediate for non-WAV), so
+    # `resample in.flac out.flac` produces a real flac, not RIFF bytes
+    wavio.write_audio(args.output, out, args.rate,
+                      sample_width={"16": 2, "24": 3, "32": 4,
+                                    "float": 4}[args.width],
+                      float_format=args.width == "float")
     return 0
 
 
@@ -197,6 +202,8 @@ def main(argv=None):
     p.add_argument("output")
     p.add_argument("--rate", type=int, required=True,
                    help="target sample rate in Hz (e.g. 48000)")
+    p.add_argument("--width", choices=["16", "24", "32", "float"],
+                   default="16", help="output WAV bit depth")
     p.set_defaults(fn=cmd_resample)
 
     p = sub.add_parser("serve", help="run the local job API + worker")

@@ -48,10 +48,14 @@ def classify_status(message: str) -> str:
     """The reference's completion contract (mastering_gui.py:224-232):
     returns "done", "error", "empty" (no audio files) or "progress"."""
     low = message.lower()
-    if "error" in low:
-        return "error"
+    # "complete" outranks "error": success messages embed the output path
+    # ("Processing complete! Saved to <path>"), and a path containing the
+    # substring "error" must not demote a successful job (the reference
+    # checks "complete" first, mastering_gui.py:226).
     if "complete" in low:
         return "done"
+    if "error" in low:
+        return "error"
     if "no audio files" in low:
         return "empty"
     return "progress"

@@ -184,11 +184,16 @@ def read_audio(path):
     return read_wav(out)
 
 
-def write_audio(path, audio, sample_rate, sample_width=2):
-    """Encode to ``path`` by extension; WAV natively, else via ffmpeg."""
+def write_audio(path, audio, sample_rate, sample_width=2, float_format=False):
+    """Encode to ``path`` by extension; WAV natively, else via ffmpeg.
+
+    ``sample_width``/``float_format`` apply to WAV outputs (non-WAV
+    containers encode from a float32 intermediate and use the codec's own
+    sample format)."""
     ext = os.path.splitext(str(path))[1].lower()
     if ext in _WAV_EXTS or ext == "":
-        write_wav(path, audio, sample_rate, sample_width=sample_width)
+        write_wav(path, audio, sample_rate, sample_width=sample_width,
+                  float_format=float_format)
         return
     ff = _ffmpeg()
     if not ff:

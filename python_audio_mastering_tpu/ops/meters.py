@@ -107,27 +107,41 @@ def _oversample_taps(factor=4, taps_per_phase=32):
     return (h * factor / h.sum()).astype(np.float64)
 
 
-def true_peak_linear(x, sample_rate=None, factor: int = 4):
+def true_peak_linear(x, sample_rate=None, factor: int = 4,
+                     exclude_pad=(False, False)):
     """Max inter-sample (true) peak magnitude, linear scale.
 
     4× polyphase FIR oversampling per BS.1770-4 Annex 2; sample_rate is
     accepted for API symmetry (the estimate is rate-agnostic).
+
+    ``exclude_pad=(head, tail)``: when a side is True, interpolation
+    windows touching that side's zero padding are excluded from the max
+    (the direct sample-peak term always covers every real sample).  Used
+    by the streaming meter, where an edge evaluated against zeros here is
+    re-evaluated with its real neighbour samples in the adjacent chunk —
+    keeping the zero-context value would let a truncated interpolation sum
+    exceed the true one (parallel/streaming._tp_chunk).
     """
     if x.ndim == 1:
         x = x[:, None]
+    n = x.shape[0]
     h = jnp.asarray(_oversample_taps(factor), x.dtype)
     n_taps = h.shape[0]
     # polyphase: phase p taps are h[p::factor]
     phases = h.reshape(-1, factor).T  # (factor, taps_per_phase)
-    xp = jnp.pad(x, ((n_taps // factor, n_taps // factor), (0, 0)))
+    k = n_taps // factor  # taps per phase == pad per side
+    xp = jnp.pad(x, ((k, k), (0, 0)))
+    # acc[j] reads xp[j .. j+k-1]; entries touching the left zero pad have
+    # j < k, entries touching the right zero pad have j >= n + 1
+    lo = k if exclude_pad[0] else 0
+    hi = (n + 1) if exclude_pad[1] else (xp.shape[0] - k + 1)
 
     def conv_phase(taps):
-        k = taps.shape[0]
         acc = jnp.zeros((xp.shape[0] - k + 1, x.shape[1]), x.dtype)
         for i in range(k):  # static, small
             acc = acc + taps[i] * jax.lax.slice_in_dim(
                 xp, k - 1 - i, xp.shape[0] - i, axis=0)
-        return jnp.max(jnp.abs(acc))
+        return jnp.max(jnp.abs(acc[lo:hi]))
 
     peaks = jnp.stack([conv_phase(phases[p]) for p in range(factor)])
     return jnp.maximum(jnp.max(peaks), jnp.max(jnp.abs(x)))

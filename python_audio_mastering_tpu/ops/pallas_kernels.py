@@ -188,9 +188,11 @@ def ballistics_pallas_rates(max_att, attack_rate, release_rate, att0=None,
 
     quantum = _LANES * _LANES  # 128 blocks of 128 steps per replay tile
     t_pad = -(-t // quantum) * quantum
-    tile = max(quantum, min(-(-tile // quantum) * quantum, t_pad))
-    if t_pad % tile:
-        tile = quantum
+    # The boundary kernel emits exactly _LANES boundary states per grid
+    # step (its rolling accumulator is _LANES wide), so the pass-1 tile is
+    # pinned to the quantum regardless of the requested hint — a larger
+    # tile would need a wider accumulator and measured no faster.
+    tile = quantum
 
     m_p = jnp.pad(m.astype(dt), ((0, t_pad - t), (0, _SUBLANES - b))).T
     ca_p = jnp.pad(jnp.asarray(attack_rate, dt), (0, _SUBLANES - b))[:, None]

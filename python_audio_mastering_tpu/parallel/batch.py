@@ -128,10 +128,7 @@ def _compiled_album(config: ChainConfig):
     def finalize(chunk, g, emit_i16=False):
         y = limiter(chunk * g[:, None, None],
                     threshold=config.limiter_threshold)
-        if emit_i16:
-            return jnp.clip(jnp.round(y * strm.PCM16_SCALE),
-                            -32768.0, 32767.0).astype(jnp.int16)
-        return y
+        return strm.requantize_pcm16(y) if emit_i16 else y
 
     return fx, gains_fn, finalize
 
@@ -269,7 +266,13 @@ def master_album_streamed(tracks: Sequence[np.ndarray], params,
     # Compute-phase barrier before the bulk readback (see h2d barrier note).
     _tiny_readback(finalized[-1])
     if timings is not None:
-        timings["compute_s"] = _time.perf_counter() - t_start
+        if device_resident:
+            timings["compute_s"] = _time.perf_counter() - t_start
+        else:
+            # host-streamed chunks: per-chunk uploads overlap the compute
+            # loop, so a pure-compute time does not exist in this mode —
+            # label the phase honestly instead of calling it compute
+            timings["h2d_plus_compute_s"] = _time.perf_counter() - t_start
         t_start = _time.perf_counter()
     if device_resident:
         # one device-side concat, ONE host transfer for the whole album

@@ -90,6 +90,17 @@ def quantize_pcm16(x: np.ndarray) -> np.ndarray:
     return np.round(np.clip(x, -1.0, 1.0) * PCM16_SCALE).astype(np.int16)
 
 
+def requantize_pcm16(y):
+    """Device-side float → int16 for the readback leg of the pcm16 link.
+
+    Clips in the integer domain to the full [-32768, 32767] range (the
+    limiter already bounds |y| near 1, so the asymmetric LSB only matters
+    for pathological overs).  One definition for every finalize path —
+    the quantization contract must not fork per call site."""
+    return jnp.clip(jnp.round(y * PCM16_SCALE),
+                    -32768.0, 32767.0).astype(jnp.int16)
+
+
 def _fx_chunk(chunk, params, config: ChainConfig, state: StreamState,
               first: bool, variant_mb: str):
     """Effects chain on one chunk with carried state + loudness cells."""
@@ -138,23 +149,32 @@ def _finalize_lookahead(chunk, gain, lstate, config: ChainConfig,
     out, new_state = lim.lookahead_limiter_chunk(
         y, lstate, config.sample_rate, flush=flush)
     if emit_i16:
-        out = jnp.clip(jnp.round(out * PCM16_SCALE),
-                       -32768.0, 32767.0).astype(jnp.int16)
+        out = requantize_pcm16(out)
     return out, new_state
 
 
-def _tp_chunk(tail, chunk, config: ChainConfig):
+def _tp_chunk(tail, chunk, config: ChainConfig, last: bool = False):
     """Streaming true-peak step: chunk (+ carried boundary tail) → scalar
     max true peak and the next tail.  int16 (pcm16) chunks are dequantized
     first — the quantized samples ARE the output, so this is the honest
-    measurement."""
+    measurement.
+
+    Interpolation windows touching the zero padding are excluded
+    (``exclude_pad``): an edge position evaluated against zeros is
+    re-evaluated with its real neighbours via the carried tail in the next
+    call, and keeping the zero-context value could overestimate the true
+    peak.  The head exclusion is safe on the very first chunk too — its
+    zero tail physically encodes the start-of-signal zeros, so windows
+    inside it match the one-shot padded evaluation.  ``last`` re-enables
+    the trailing zero-pad windows (the genuine end-of-signal edge)."""
     from python_audio_mastering_tpu.ops.meters import true_peak_linear
 
     x = chunk
     if jnp.issubdtype(x.dtype, jnp.integer):
         x = x.astype(config.jnp_dtype()) / PCM16_SCALE
     ext = jnp.concatenate([tail, x], axis=0)
-    return true_peak_linear(ext), ext[-tail.shape[0]:]
+    return (true_peak_linear(ext, exclude_pad=(True, not last)),
+            ext[-tail.shape[0]:])
 
 
 def _finalize_chunk(chunk, gain, config: ChainConfig, emit_i16: bool = False):
@@ -165,9 +185,8 @@ def _finalize_chunk(chunk, gain, config: ChainConfig, emit_i16: bool = False):
         y = soft_limiter_legacy(x, threshold=config.limiter_threshold)
     if emit_i16:
         # pcm16 transfer path: requantize on-device so the readback ships
-        # half the bytes (the limiter already bounds |y| near 1)
-        return jnp.clip(jnp.round(y * PCM16_SCALE),
-                        -32768.0, 32767.0).astype(jnp.int16)
+        # half the bytes
+        return requantize_pcm16(y)
     return y
 
 
@@ -215,7 +234,8 @@ def _compiled(config: ChainConfig):
                   static_argnames=("emit_i16",))
     fin_la = jax.jit(functools.partial(_finalize_lookahead, config=config),
                      static_argnames=("flush", "emit_i16"))
-    tp = jax.jit(functools.partial(_tp_chunk, config=config))
+    tp = jax.jit(functools.partial(_tp_chunk, config=config),
+                 static_argnames=("last",))
     return fx, fin, fin_la, tp
 
 
@@ -360,7 +380,14 @@ def master_streamed(audio, params: MasteringParams, config: ChainConfig,
         if o.shape[0]:
             finalized.append(o)
     else:
+        # trim the zero-padding/ring-out tail of the last chunk BEFORE
+        # finalize so the streamed true-peak meter below never sees samples
+        # that are not part of the returned audio (fin is elementwise, so
+        # trimming before vs. after it is identical for kept samples)
+        rem = n - (num_chunks - 1) * chunk_frames
         for i, y in enumerate(processed):
+            if i == num_chunks - 1 and rem < chunk_frames:
+                y = jax.lax.slice_in_dim(y, 0, rem, axis=0)
             finalized.append(fin(y, gain, emit_i16=pcm16))
             if progress_cb:
                 progress_cb(f"Finalizing chunk {i + 1}/{num_chunks}...")
@@ -368,8 +395,8 @@ def master_streamed(audio, params: MasteringParams, config: ChainConfig,
     tp_max = None
     if return_meters:
         tp_tail = jnp.zeros((32, c), dtype)
-        for f in finalized:
-            tpv, tp_tail = tp_fn(tp_tail, f)
+        for fi, f in enumerate(finalized):
+            tpv, tp_tail = tp_fn(tp_tail, f, last=(fi == len(finalized) - 1))
             tp_max = tpv if tp_max is None else jnp.maximum(tp_max, tpv)
 
     if device_resident:

@@ -96,3 +96,27 @@ def test_cli_master_output_rate(tmp_path, in_wav):
     assert rc == 0
     y, fs = wavio.read_wav(out)
     assert fs == 48000
+
+
+def test_cli_resample_float_width(tmp_path):
+    """--width float writes IEEE-float WAV (no 16-bit quantization)."""
+    import numpy as np
+
+    from python_audio_mastering_tpu import cli
+    from python_audio_mastering_tpu.io import wavio
+
+    fs = 44100
+    x = (np.random.default_rng(0).standard_normal((fs, 2)) * 1e-4) \
+        .astype(np.float32)
+    src = tmp_path / "tiny.wav"
+    dst = tmp_path / "tiny48.wav"
+    wavio.write_wav(str(src), x, fs, float_format=True)
+    rc = cli.main(["resample", str(src), str(dst), "--rate", "48000",
+                   "--width", "float"])
+    assert rc == 0
+    y, fs_out = wavio.read_wav(str(dst))
+    assert fs_out == 48000
+    # -84 dBFS content survives: 16-bit quantization would destroy it
+    # (1 LSB = 3e-5), float container keeps it to float32 precision
+    assert np.abs(y).max() > 5e-5
+    assert np.std(y) > 1e-5

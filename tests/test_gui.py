@@ -100,9 +100,14 @@ def test_busy_gating_and_status_contract():
     assert st.on_status("ERROR: boom") == "error" and not st.busy
 
 
-def test_classify_status_error_beats_complete():
-    # a message containing both must not pop a success dialog
-    assert classify_status("ERROR: could not complete") == "error"
+def test_classify_status_complete_beats_error():
+    # reference precedence (mastering_gui.py:229-232): "complete" is
+    # checked first — critically, a SUCCESS message embedding an output
+    # path that contains "error" (".../error_analysis/out.wav") must not
+    # demote the job to an Error dialog
+    assert classify_status(
+        "Processing complete! Saved to /data/error_analysis/out.wav") == "done"
+    assert classify_status("ERROR: decode failed") == "error"
     assert classify_status("Batch processing complete! 3/3") == "done"
     assert classify_status("no audio files") == "empty"
     assert classify_status("Loading x.wav...") == "progress"

@@ -70,3 +70,27 @@ def test_ragged_length_padding():
     got, _ = pk.ballistics_pallas(stats, tile=1024, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=0, atol=1e-3)
+
+
+def test_tile_hint_pinned_to_quantum():
+    """Any tile hint must produce correct results: the boundary kernel
+    emits exactly 128 boundary states per grid step, so the tile is pinned
+    to 128^2 internally (a larger accepted tile would drop boundaries).
+    Regression: T an exact multiple of the hinted tile used to pass the
+    oversized tile through and break the pass-1 output blocking."""
+    from python_audio_mastering_tpu.ops import compressor as comp
+
+    t = 32768  # exact multiple of the 32768 hint below
+    rng = np.random.default_rng(9)
+    m = jnp.asarray(np.abs(rng.standard_normal((t, 2))).astype(np.float32))
+    ca = jnp.asarray([0.05, 0.2], jnp.float32)
+    cr = jnp.asarray([0.002, 0.01], jnp.float32)
+    stats = {"max_att": m, "above": m > 0, "inc": m * ca, "dec": m * cr}
+    ref, ref_f = comp.attenuation_scan(stats)
+    for tile in (8192, 32768, 65536):
+        att, att_f = pk.ballistics_pallas_rates(m, ca, cr, tile=tile,
+                                                interpret=True)
+        np.testing.assert_allclose(np.asarray(att), np.asarray(ref),
+                                   rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(att_f), np.asarray(ref_f),
+                                   rtol=1e-6, atol=1e-6)

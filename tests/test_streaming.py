@@ -156,3 +156,46 @@ def test_streamed_meters_match_one_shot_meters():
     tp_ref = float(met.true_peak_db(out))
     assert abs(meters["true_peak_dbtp"] - tp_ref) < 1e-6
     assert abs(meters["integrated_lufs"] - (-20.0)) < 0.05
+
+
+def test_streamed_true_peak_exact_on_ragged_length():
+    """The streamed true-peak meter must equal the one-shot meter even when
+    the track length is NOT a chunk multiple (the padded ring-out tail of
+    the final chunk must never be measured) and at interior chunk
+    boundaries (zero-context interpolator edge evaluations are excluded
+    and re-evaluated with real context via the carried tail)."""
+    from python_audio_mastering_tpu.ops import meters as met
+
+    # 2.37 s at 1 s chunks -> ragged final chunk; hot signal so the
+    # limiter and true peak are active near full scale
+    x = make_signal(int(FS * 2.37), fs=FS) * 0.9
+    params = MasteringParams.from_settings({"preset": "rock", "lufs": -10.0})
+    cfg = ChainConfig(sample_rate=FS, dtype="float64")
+    out, _, _, meters = streaming.master_streamed(
+        x, params, cfg, chunk_seconds=1.0, return_meters=True)
+    tp_ref = float(met.true_peak_db(out))
+    assert abs(meters["true_peak_dbtp"] - tp_ref) < 1e-9
+
+
+def test_true_peak_exclude_pad_windows():
+    """exclude_pad drops exactly the interpolation windows touching the
+    zero padding: excluding both sides of a signal with silent edges
+    changes nothing; excluding the tail of a hot-edged signal removes the
+    edge overshoot that zero-context interpolation can invent."""
+    from python_audio_mastering_tpu.ops import meters as met
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(5)
+    quiet_edges = np.zeros(4096)
+    quiet_edges[64:-64] = rng.standard_normal(4096 - 128) * 0.5
+    full = float(met.true_peak_linear(jnp.asarray(quiet_edges)))
+    excl = float(met.true_peak_linear(jnp.asarray(quiet_edges),
+                                      exclude_pad=(True, True)))
+    assert abs(full - excl) < 1e-12
+
+    # direct sample peaks are always covered even when windows are excluded
+    hot = np.zeros(256)
+    hot[-1] = 0.99
+    excl = float(met.true_peak_linear(jnp.asarray(hot),
+                                      exclude_pad=(True, True)))
+    assert excl >= 0.99
