@@ -23,6 +23,23 @@ def make_mesh(axis_name: str = "tracks", devices=None) -> Mesh:
     return Mesh(devices.reshape(-1), (axis_name,))
 
 
+def make_mesh_2d(tracks: int = 0, axis_names=("tracks", "seq"),
+                 devices=None) -> Mesh:
+    """A 2-D (tracks × frames) mesh: data parallelism over tracks composed
+    with sequence parallelism within each track.
+
+    ``tracks``: size of the tracks axis (0 = pick the largest divisor of
+    the device count ≤ its square root, e.g. 8 devices → 2×4).
+    """
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    n = devices.size
+    if tracks <= 0:
+        tracks = max(d for d in range(1, int(n ** 0.5) + 1) if n % d == 0)
+    if n % tracks:
+        raise ValueError(f"{n} devices not divisible by tracks={tracks}")
+    return Mesh(devices.reshape(tracks, n // tracks), tuple(axis_names))
+
+
 def tracks_sharding(mesh: Mesh, axis_name: str = "tracks") -> NamedSharding:
     """Shard the leading (tracks) axis; everything else replicated."""
     return NamedSharding(mesh, PartitionSpec(axis_name))

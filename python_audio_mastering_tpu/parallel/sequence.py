@@ -51,7 +51,7 @@ from python_audio_mastering_tpu.ops.waveshaper import (
 )
 from python_audio_mastering_tpu.parallel.mesh import make_mesh
 
-__all__ = ["master_track_sharded"]
+__all__ = ["master_track_sharded", "master_album_sharded"]
 
 
 def _sharded_detector(band, axis, sample_rate, threshold_db, ratio,
@@ -148,7 +148,7 @@ def _sharded_ballistics(stats, axis, block_ctrl, overlap_ctrl, coarse=64):
     return att
 
 
-def _chain_shard(x, params, config: ChainConfig, axis: str, n_valid: int,
+def _chain_shard(x, params, n_valid, config: ChainConfig, axis: str,
                  sp_ballistics: str = "approx"):
     fs = config.sample_rate
     run_iir = functools.partial(iir.sosfilt_sharded, axis_name=axis,
@@ -250,15 +250,86 @@ def master_track_sharded(audio, params: MasteringParams, config: ChainConfig,
     fn = jax.jit(
         jax.shard_map(
             functools.partial(_chain_shard, config=config, axis=axis,
-                              n_valid=n, sp_ballistics=sp_ballistics),
-            mesh=mesh, in_specs=(P(axis, None), P()),
+                              sp_ballistics=sp_ballistics),
+            mesh=mesh, in_specs=(P(axis, None), P(), P()),
             out_specs=(P(axis, None), P(), P()), check_vma=False),
     )
     x_dev = jax.device_put(
         jnp.asarray(x, config.jnp_dtype()),
         NamedSharding(mesh, P(axis, None)))
-    y, measured, gain_db = fn(x_dev, params)
+    y, measured, gain_db = fn(x_dev, params, jnp.asarray(n))
     out = np.asarray(y)[:n]
     if squeeze:
         out = out[:, 0]
     return out, float(measured), float(gain_db)
+
+
+def master_album_sharded(tracks, params, config: ChainConfig, mesh=None,
+                         sp_ballistics: str = "approx"):
+    """Album mastering on a 2-D (tracks × frames) mesh: data parallelism
+    over tracks COMPOSED with sequence parallelism within each track.
+
+    The composed layout is the full-slice scaling story: an 8-chip slice
+    runs e.g. 2 track groups × 4-way frame sharding, so albums of few very
+    long tracks still use every chip.  Inside ``shard_map`` the local block
+    is ``(tracks_local, frames_local, C)``; the per-track chain is the same
+    ``_chain_shard`` vmapped over the local tracks axis — its ``seq``-axis
+    collectives (boundary-state ``all_gather``s, detector-tail
+    ``ppermute``s, loudness-cell gathers) batch across tracks, and each
+    track's gated loudness masks its own valid length.
+
+    ``params``: one ``MasteringParams`` or a per-track sequence.
+    Returns ``(list of (N_i, C) arrays, measured_lufs (T,))``.
+    """
+    from python_audio_mastering_tpu.parallel.batch import (
+        pad_tracks, stack_params)
+    from python_audio_mastering_tpu.parallel.mesh import make_mesh_2d
+
+    if mesh is None:
+        mesh = make_mesh_2d()
+    taxis, saxis = mesh.axis_names
+    dt_mesh, ds_mesh = mesh.devices.shape
+    batch, lengths = pad_tracks(tracks)
+    if isinstance(params, MasteringParams):
+        params = [params] * len(tracks)
+    stacked = stack_params(list(params))
+
+    t0, n, c = batch.shape
+    # pad the tracks axis to a mesh multiple with silent tracks
+    if t0 % dt_mesh:
+        extra = dt_mesh - t0 % dt_mesh
+        batch = np.concatenate(
+            [batch, np.zeros((extra,) + batch.shape[1:], batch.dtype)])
+        stacked = jax.tree.map(
+            lambda leaf: jnp.concatenate(
+                [leaf, jnp.broadcast_to(leaf[-1:], (extra,) + leaf.shape[1:])]),
+            stacked)
+    # frame-axis alignment (same rule as master_track_sharded)
+    cell = int(round(0.1 * config.sample_rate))
+    align = int(np.lcm(cell, max(config.comp_hop, 1))) * ds_mesh
+    n_pad = -(-n // align) * align
+    if n_pad != n:
+        batch = np.concatenate(
+            [batch, np.zeros((batch.shape[0], n_pad - n, c), batch.dtype)],
+            axis=1)
+    n_valid = jnp.concatenate(
+        [jnp.asarray(lengths),
+         jnp.zeros((batch.shape[0] - t0,), jnp.int64)]) \
+        if batch.shape[0] != t0 else jnp.asarray(lengths)
+
+    def block(xb, pb, nv):
+        run = functools.partial(_chain_shard, config=config, axis=saxis,
+                                sp_ballistics=sp_ballistics)
+        return jax.vmap(run)(xb, pb, nv)
+
+    fn = jax.jit(jax.shard_map(
+        block, mesh=mesh,
+        in_specs=(P(taxis, saxis, None), P(taxis), P(taxis)),
+        out_specs=(P(taxis, saxis, None), P(taxis), P(taxis)),
+        check_vma=False))
+    x_dev = jax.device_put(jnp.asarray(batch, config.jnp_dtype()),
+                           NamedSharding(mesh, P(taxis, saxis, None)))
+    y, measured, _ = fn(x_dev, stacked, n_valid)
+    out = np.asarray(y)
+    return ([out[i, : int(lengths[i])] for i in range(len(tracks))],
+            np.asarray(measured)[: len(tracks)])

@@ -69,3 +69,27 @@ def test_sharded_track_exact_mode_with_hop():
     ref = np.asarray(master(x, p, cfg))
     got, _, _ = sequence.master_track_sharded(x, p, cfg, sp_ballistics="exact")
     np.testing.assert_allclose(got, ref, rtol=1e-9, atol=1e-11)
+
+
+def test_album_sharded_2d_matches_per_track():
+    """2-D (tracks × frames) mesh: dp composed with sp.  Each track of the
+    album must equal its own single-device one-shot master (exact without
+    multiband), with per-track LUFS gating masked to each track's length."""
+    from python_audio_mastering_tpu.parallel.mesh import make_mesh_2d
+    from python_audio_mastering_tpu.parallel.sequence import (
+        master_album_sharded)
+
+    cfg = ChainConfig(sample_rate=FS, dtype="float64", filter_method="blocked")
+    tracks = [make_signal(int(FS * 1.3), fs=FS, seed=s) * 0.5
+              for s in (0, 1)] + [make_signal(int(FS * 0.9), fs=FS, seed=2) * 0.4]
+    params = MasteringParams.from_settings(
+        {"preset": "pop", "saturation": 15, "width": 1.2, "lufs": -17.0})
+    mesh = make_mesh_2d(tracks=2)  # 8 virtual devices -> 2 x 4
+    assert mesh.devices.shape == (2, 4)
+    outs, measured = master_album_sharded(tracks, params, cfg, mesh=mesh)
+    assert len(outs) == 3
+    for i, t in enumerate(tracks):
+        ref = np.asarray(master(t, params, cfg))
+        assert outs[i].shape == ref.shape
+        np.testing.assert_allclose(outs[i], ref, rtol=1e-9, atol=1e-11)
+        assert np.isfinite(measured[i])
