@@ -39,7 +39,8 @@ from python_audio_mastering_tpu.serving import store as store_mod
 
 __all__ = ["EQ_PRESETS", "default_config", "process_audio",
            "batch_process_audio", "process_audio_from_gcs",
-           "process_audio_from_uri", "AUDIO_EXTENSIONS"]
+           "process_audio_from_uri", "process_album_from_uris",
+           "AUDIO_EXTENSIONS"]
 
 AUDIO_EXTENSIONS = (".wav", ".mp3", ".flac", ".aiff")  # mastering_gui.py:137
 
@@ -167,3 +168,62 @@ def process_audio_from_uri(uri: str, settings: dict,
 def process_audio_from_gcs(gcs_uri: str, settings: dict, **kwargs) -> str:
     """Exact reference name (worker/main.py:11); works for local:// too."""
     return process_audio_from_uri(gcs_uri, settings, **kwargs)
+
+
+def process_album_from_uris(uris: list, settings: dict,
+                            store: store_mod.BlobStore | None = None,
+                            config: ChainConfig | None = None,
+                            progress_cb=None) -> list:
+    """Cloud album engine (framework extension — the reference fans out one
+    Pub/Sub message per file; this masters a whole album as ONE batched,
+    chunked device call, ``parallel.batch.master_album_streamed``).
+
+    Tracks at a different sample rate than the first are resampled to it
+    on-device before mastering (``ops.resample``), so mixed-rate uploads
+    still form one batch.  Returns the list of output keys; per-file
+    ``.complete`` flags keep the reference's per-file status polling
+    working unchanged.
+    """
+    from python_audio_mastering_tpu.parallel.batch import master_album_streamed
+
+    if not uris:
+        raise ValueError("empty album job")
+    cb = progress_cb or (lambda m: print(m))
+    first_scheme, first_bucket, _ = store_mod.parse_uri(uris[0])
+    store = store or store_mod.get_store(f"{first_scheme}://{first_bucket}")
+
+    tracks = []
+    fs_album = None
+    for uri in uris:
+        _, _, key = store_mod.parse_uri(uri)
+        cb(f"Downloading file from {uri}...")
+        audio, fs = wavio.decode_audio_bytes(store.download(key),
+                                             name_hint=key)
+        if fs_album is None:
+            fs_album = fs
+        elif fs != fs_album:
+            from python_audio_mastering_tpu.ops import resample as rs
+
+            cb(f"Resampling {key} {fs} -> {fs_album} Hz to batch the album")
+            audio = np.asarray(rs.resample(audio, fs, fs_album))
+        tracks.append(audio)
+
+    params = MasteringParams.from_settings(settings)
+    cfg = config or default_config(fs_album)
+    cb(f"Processing album of {len(tracks)} tracks in chunks...")
+    outs, _ = master_album_streamed(tracks, params, cfg, progress_cb=cb,
+                                    transfer="pcm16")
+
+    out_keys = []
+    for uri, out in zip(uris, outs):
+        _, _, key = store_mod.parse_uri(uri)
+        out_arr, fs_out = _maybe_resample(out, fs_album, settings, cb)
+        output_key = f"processed/mastered_{os.path.basename(key)}"
+        cb(f"Exporting and uploading processed audio to {output_key}...")
+        buf = io.BytesIO()
+        wavio.write_wav(buf, out_arr, fs_out)
+        store.upload(output_key, buf.getvalue(), content_type="audio/wav")
+        store.upload(f"{output_key}.complete", b"")
+        out_keys.append(output_key)
+    cb(f"Album complete: {len(out_keys)} files.")
+    return out_keys

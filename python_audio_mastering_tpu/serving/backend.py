@@ -57,9 +57,19 @@ def make_backend_app(store: BlobStore, publish, upload_expiry_s: int = 900,
     @app.route("/start-processing", methods=["POST"])
     def start_processing(req):
         data = req.get_json()
-        if not data or "gcs_uri" not in data or "settings" not in data:
+        if not data or "settings" not in data or \
+                ("gcs_uri" not in data and "gcs_uris" not in data):
             return json_response({"error": "Missing GCS URI or settings"}, 400)
         publish(data)
+        if "gcs_uris" in data:
+            # album job (framework extension): one batched device call,
+            # per-file outputs — clients poll each filename as usual
+            names = [os.path.basename(u.rstrip("/").split("/")[-1])
+                     for u in data["gcs_uris"]]
+            return json_response({
+                "message": "Processing job started.",
+                "processed_filenames":
+                    [f"processed/mastered_{n}" for n in names]})
         original = data["settings"].get("original_filename", "unknown.wav")
         processed = f"processed/mastered_{original}"
         return json_response({"message": "Processing job started.",

@@ -37,24 +37,37 @@ def _output_key(uri: str) -> str:
 
 def run_job(payload: dict, store: BlobStore, max_retries: int = 1,
             config=None):
-    """Execute one mastering job with bounded retries + failure flag."""
+    """Execute one mastering job with bounded retries + failure flag.
+
+    Two payload shapes: ``{gcs_uri, settings}`` (the reference wire,
+    worker/main.py:28-39) or ``{gcs_uris: [...], settings}`` — an album
+    job, mastered as one batched chunked device call with per-file outputs
+    and ``.complete`` flags (framework extension)."""
+    uris = payload.get("gcs_uris")
     gcs_uri = payload.get("gcs_uri")
     settings = payload.get("settings")
-    if not gcs_uri or not settings:
+    if (not gcs_uri and not uris) or not settings:
         raise ValueError(f"Missing GCS URI or settings in job data: {payload}")
-    out_key = _output_key(gcs_uri)
+    out_keys = [_output_key(u) for u in (uris or [gcs_uri])]
     last = None
     for attempt in range(max_retries + 1):
         try:
-            engine.process_audio_from_uri(gcs_uri, settings, store=store,
-                                          config=config)
-            store.delete(f"{out_key}.failed")
-            return out_key
+            if uris:
+                engine.process_album_from_uris(uris, settings, store=store,
+                                               config=config)
+            else:
+                engine.process_audio_from_uri(gcs_uri, settings, store=store,
+                                              config=config)
+            for k in out_keys:
+                store.delete(f"{k}.failed")
+            return out_keys if uris else out_keys[0]
         except Exception as e:  # noqa: BLE001 — job isolation
             last = e
-            print(f"Job attempt {attempt + 1} failed for {gcs_uri}: {e}")
+            print(f"Job attempt {attempt + 1} failed for "
+                  f"{uris or gcs_uri}: {e}")
             traceback.print_exc()
-    store.upload(f"{out_key}.failed", str(last).encode("utf-8"))
+    for k in out_keys:
+        store.upload(f"{k}.failed", str(last).encode("utf-8"))
     raise last
 
 
@@ -75,7 +88,7 @@ def make_worker_app(store: BlobStore, max_retries: int = 1, config=None) -> App:
             payload = decode_envelope(req.get_json())
         except (ValueError, KeyError, TypeError):
             return text_response("Bad Request: invalid Pub/Sub message format", 400)
-        gcs_uri = payload.get("gcs_uri")
+        gcs_uri = payload.get("gcs_uri") or payload.get("gcs_uris")
         settings = payload.get("settings")
         if not gcs_uri or not settings:
             return text_response("Bad Request: missing GCS URI or settings", 400)

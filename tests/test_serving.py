@@ -251,3 +251,53 @@ def test_monolith_legacy_contract(tmp_path):
     # malformed envelope → 400 with the reference's message
     status, _, body = app.request("POST", "/", b'{"x": 1}')
     assert status == 400 and b"Invalid Pub/Sub message format" in body
+
+
+def test_album_job_flow(stack):
+    """Album extension: one POST with gcs_uris masters all tracks as a
+    single batched device call; per-file .complete flags keep the
+    reference's per-filename polling working unchanged.  A mixed-rate
+    track is resampled into the album batch."""
+    store, q, backend = stack
+
+    names = ["a1.wav", "a2.wav", "a3.wav"]
+    uris = []
+    for i, name in enumerate(names):
+        status, resp = backend.get_json("POST", "/generate-upload-url",
+                                        {"filename": name,
+                                         "contentType": "audio/wav"})
+        assert status == 200
+        body = _wav_bytes(0.8 + 0.3 * i)
+        if i == 2:  # mixed-rate upload: 32 kHz
+            x = (make_signal(32000) * 0.4).astype(np.float32)
+            b = io.BytesIO()
+            wavio.write_wav(b, x, 32000)
+            body = b.getvalue()
+        s2, _, _ = backend.request("PUT", resp["url"], body,
+                                   content_type="audio/wav")
+        assert s2 == 200
+        uris.append(resp["gcs_uri"])
+
+    status, resp = backend.get_json(
+        "POST", "/start-processing",
+        {"gcs_uris": uris, "settings": {"saturation": 5, "lufs": -16.0}})
+    assert status == 200
+    processed = resp["processed_filenames"]
+    assert processed == [f"processed/mastered_{n}" for n in names]
+
+    for p in processed:
+        for _ in range(600):
+            status, s = backend.get_json("GET", f"/status?filename={p}")
+            assert status == 200
+            if s["status"] == "done":
+                break
+            assert s["status"] == "processing"
+            time.sleep(0.1)
+        else:
+            pytest.fail(f"album file {p} did not complete")
+
+    # outputs decode and are mastered (finite, limited, LUFS-normalized)
+    for p in processed:
+        y, fs_out = wavio.read_wav(store.download(p))
+        assert fs_out == FS  # mixed-rate track was batched at album rate
+        assert np.isfinite(y).all() and np.abs(y).max() <= 1.0
