@@ -113,6 +113,64 @@ def cmd_measure(args):
     return 0
 
 
+def cmd_album(args):
+    """Master a folder as ONE batched chunked device call (the album path,
+    `parallel.batch.master_album_streamed`) — unlike `batch`, which loops
+    file-by-file per the reference GUI contract."""
+    import os
+
+    import numpy as np
+
+    from python_audio_mastering_tpu import engine
+    from python_audio_mastering_tpu.config import MasteringParams
+    from python_audio_mastering_tpu.io import wavio
+    from python_audio_mastering_tpu.parallel.batch import master_album_streamed
+
+    try:
+        files = sorted(
+            f for f in os.listdir(args.input_dir)
+            if os.path.splitext(f)[1].lower() in engine.AUDIO_EXTENSIONS)
+    except OSError as e:
+        print(f"ERROR: cannot read input folder: {e}")
+        return 1
+    if not files:
+        print("No audio files found in the input folder.")
+        return 1
+
+    tracks, fs_album = [], None
+    for name in files:
+        audio, fs = wavio.read_audio(os.path.join(args.input_dir, name))
+        if fs_album is None:
+            fs_album = fs
+        elif fs != fs_album:
+            from python_audio_mastering_tpu.ops import resample as rs
+
+            print(f"Resampling {name} {fs} -> {fs_album} Hz to batch")
+            audio = np.asarray(rs.resample(audio, fs, fs_album))
+        tracks.append(audio)
+
+    settings = _settings_from_args(args)
+    params = MasteringParams.from_settings(settings)
+    cfg = _config_from_args(args, fs_album)
+    outs, measured = master_album_streamed(tracks, params, cfg,
+                                           progress_cb=print,
+                                           transfer="pcm16")
+    os.makedirs(args.output_dir, exist_ok=True)
+    out_fs = int(settings.get("output_sample_rate") or fs_album)
+    for name, out, lufs in zip(files, outs, measured):
+        if out_fs != fs_album:
+            from python_audio_mastering_tpu.ops import resample as rs
+
+            out = np.asarray(rs.resample(out, fs_album, out_fs))
+        base, ext = os.path.splitext(name)
+        dst = os.path.join(args.output_dir, f"{base}_mastered{ext}")
+        wavio.write_audio(dst, out, out_fs)
+        extra = f" ({lufs:.2f} LUFS measured)" if np.isfinite(lufs) else ""
+        print(f"  {dst}{extra}")
+    print(f"Album processing complete! {len(files)} files mastered.")
+    return 0
+
+
 def cmd_resample(args):
     import numpy as np
 
@@ -195,6 +253,13 @@ def main(argv=None):
     p = sub.add_parser("measure", help="measure integrated loudness")
     p.add_argument("input")
     p.set_defaults(fn=cmd_measure)
+
+    p = sub.add_parser("album",
+                       help="master a folder as one batched device call")
+    p.add_argument("input_dir")
+    p.add_argument("output_dir")
+    _add_settings_args(p)
+    p.set_defaults(fn=cmd_album)
 
     p = sub.add_parser("resample",
                        help="convert a file's sample rate (polyphase)")

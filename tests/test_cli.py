@@ -120,3 +120,31 @@ def test_cli_resample_float_width(tmp_path):
     # (1 LSB = 3e-5), float container keeps it to float32 precision
     assert np.abs(y).max() > 5e-5
     assert np.std(y) > 1e-5
+
+
+def test_cli_album(tmp_path):
+    """`album`: the whole folder masters as one batched device call, with
+    per-track measured LUFS and the folder-batch completion message."""
+    import numpy as np
+
+    from python_audio_mastering_tpu import cli
+    from python_audio_mastering_tpu.io import wavio
+    from tests.conftest import make_signal
+
+    fs = 44100
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    for i in range(2):
+        x = (make_signal(int(fs * (0.8 + 0.2 * i)), seed=i) * 0.4) \
+            .astype(np.float32)
+        wavio.write_wav(str(in_dir / f"t{i}.wav"), x, fs)
+    out_dir = tmp_path / "out"
+    rc = cli.main(["album", str(in_dir), str(out_dir), "--preset", "pop",
+                   "--lufs", "-16", "--exact"])
+    assert rc == 0
+    for i in range(2):
+        y, fs_out = wavio.read_wav(str(out_dir / f"t{i}_mastered.wav"))
+        assert fs_out == fs and np.isfinite(y).all()
+
+    rc = cli.main(["album", str(tmp_path / "nope"), str(out_dir)])
+    assert rc == 1
