@@ -137,24 +137,26 @@ def cmd_album(args):
         print("No audio files found in the input folder.")
         return 1
 
-    tracks, fs_album = [], None
+    loaded, names = [], []
     for name in files:
-        audio, fs = wavio.read_audio(os.path.join(args.input_dir, name))
-        if fs_album is None:
-            fs_album = fs
-        elif fs != fs_album:
-            from python_audio_mastering_tpu.ops import resample as rs
-
-            print(f"Resampling {name} {fs} -> {fs_album} Hz to batch")
-            audio = np.asarray(rs.resample(audio, fs, fs_album))
-        tracks.append(audio)
+        try:
+            loaded.append(wavio.read_audio(os.path.join(args.input_dir, name)))
+            names.append(name)
+        except (OSError, ValueError) as e:
+            # skip unreadable files and master the rest (the `batch` policy)
+            print(f"  Skipping {name}: {e}")
+    if not loaded:
+        print("No audio files found in the input folder.")
+        return 1
+    files = names
+    tracks, fs_album = engine.conform_album_tracks(loaded, names, print)
 
     settings = _settings_from_args(args)
     params = MasteringParams.from_settings(settings)
     cfg = _config_from_args(args, fs_album)
     outs, measured = master_album_streamed(tracks, params, cfg,
                                            progress_cb=print,
-                                           transfer="pcm16")
+                                           transfer=args.transfer)
     os.makedirs(args.output_dir, exist_ok=True)
     out_fs = int(settings.get("output_sample_rate") or fs_album)
     for name, out, lufs in zip(files, outs, measured):
@@ -258,6 +260,10 @@ def main(argv=None):
                        help="master a folder as one batched device call")
     p.add_argument("input_dir")
     p.add_argument("output_dir")
+    p.add_argument("--transfer", choices=["float32", "pcm16"],
+                   default="float32",
+                   help="host-device link format (pcm16 halves link bytes "
+                        "at a 16-bit noise floor; float32 is lossless)")
     _add_settings_args(p)
     p.set_defaults(fn=cmd_album)
 

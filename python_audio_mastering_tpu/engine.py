@@ -170,49 +170,81 @@ def process_audio_from_gcs(gcs_uri: str, settings: dict, **kwargs) -> str:
     return process_audio_from_uri(gcs_uri, settings, **kwargs)
 
 
+def conform_album_tracks(loaded, names=None, progress_cb=None):
+    """Conform decoded tracks into one batchable album.
+
+    ``loaded``: list of ``(audio (N, C), fs)``.  Tracks at a different
+    sample rate than the first are resampled to it (``ops.resample``);
+    mono tracks in a mixed-channel album are upmixed by duplication to the
+    album's max channel count (a ``(N, 1)`` and ``(N, 2)`` track cannot
+    share a padded batch otherwise).  The ONE conforming policy for every
+    album surface — CLI, cloud job — so the paths cannot diverge.
+    Returns ``(tracks, fs_album)``.
+    """
+    cb = progress_cb or (lambda m: print(m))
+    names = names or [f"track {i}" for i in range(len(loaded))]
+    fs_album = loaded[0][1]
+    channels = max(a.shape[1] if a.ndim == 2 else 1 for a, _ in loaded)
+    tracks = []
+    for (audio, fs), name in zip(loaded, names):
+        if audio.ndim == 1:
+            audio = audio[:, None]
+        if fs != fs_album:
+            from python_audio_mastering_tpu.ops import resample as rs
+
+            cb(f"Resampling {name} {fs} -> {fs_album} Hz to batch the album")
+            audio = np.asarray(rs.resample(audio, fs, fs_album))
+        if audio.shape[1] < channels:
+            cb(f"Upmixing {name} {audio.shape[1]} -> {channels} channels")
+            audio = np.broadcast_to(
+                audio[:, :1], (audio.shape[0], channels)).copy() \
+                if audio.shape[1] == 1 else np.concatenate(
+                    [audio] + [audio[:, -1:]] * (channels - audio.shape[1]),
+                    axis=1)
+        tracks.append(audio)
+    return tracks, fs_album
+
+
 def process_album_from_uris(uris: list, settings: dict,
                             store: store_mod.BlobStore | None = None,
                             config: ChainConfig | None = None,
-                            progress_cb=None) -> list:
+                            progress_cb=None, transfer: str = "float32") -> list:
     """Cloud album engine (framework extension — the reference fans out one
     Pub/Sub message per file; this masters a whole album as ONE batched,
     chunked device call, ``parallel.batch.master_album_streamed``).
 
-    Tracks at a different sample rate than the first are resampled to it
-    on-device before mastering (``ops.resample``), so mixed-rate uploads
-    still form one batch.  Returns the list of output keys; per-file
-    ``.complete`` flags keep the reference's per-file status polling
-    working unchanged.
+    Mixed-rate/mixed-channel uploads are conformed into one batch
+    (:func:`conform_album_tracks`).  ``transfer``: ``"float32"`` (default —
+    lossless link) or ``"pcm16"`` (half the host↔device bytes at a 16-bit
+    noise floor; for link-bound deployments).  Returns the list of output
+    keys; per-file ``.complete`` flags keep the reference's per-file
+    status polling working unchanged.
     """
     from python_audio_mastering_tpu.parallel.batch import master_album_streamed
 
     if not uris:
         raise ValueError("empty album job")
     cb = progress_cb or (lambda m: print(m))
-    first_scheme, first_bucket, _ = store_mod.parse_uri(uris[0])
+    buckets = {store_mod.parse_uri(u)[:2] for u in uris}
+    if len(buckets) > 1:
+        raise ValueError(f"album URIs span multiple buckets: {sorted(buckets)}")
+    first_scheme, first_bucket = next(iter(buckets))
     store = store or store_mod.get_store(f"{first_scheme}://{first_bucket}")
 
-    tracks = []
-    fs_album = None
+    loaded, keys = [], []
     for uri in uris:
         _, _, key = store_mod.parse_uri(uri)
         cb(f"Downloading file from {uri}...")
-        audio, fs = wavio.decode_audio_bytes(store.download(key),
-                                             name_hint=key)
-        if fs_album is None:
-            fs_album = fs
-        elif fs != fs_album:
-            from python_audio_mastering_tpu.ops import resample as rs
-
-            cb(f"Resampling {key} {fs} -> {fs_album} Hz to batch the album")
-            audio = np.asarray(rs.resample(audio, fs, fs_album))
-        tracks.append(audio)
+        loaded.append(wavio.decode_audio_bytes(store.download(key),
+                                               name_hint=key))
+        keys.append(key)
+    tracks, fs_album = conform_album_tracks(loaded, keys, cb)
 
     params = MasteringParams.from_settings(settings)
     cfg = config or default_config(fs_album)
     cb(f"Processing album of {len(tracks)} tracks in chunks...")
     outs, _ = master_album_streamed(tracks, params, cfg, progress_cb=cb,
-                                    transfer="pcm16")
+                                    transfer=transfer)
 
     out_keys = []
     for uri, out in zip(uris, outs):

@@ -23,6 +23,7 @@ from __future__ import annotations
 import os
 
 from python_audio_mastering_tpu.serving.http import App, json_response, text_response
+from python_audio_mastering_tpu.serving import store as store_mod
 from python_audio_mastering_tpu.serving.store import BlobStore, LocalFSBlobStore
 
 __all__ = ["make_backend_app"]
@@ -60,16 +61,25 @@ def make_backend_app(store: BlobStore, publish, upload_expiry_s: int = 900,
         if not data or "settings" not in data or \
                 ("gcs_uri" not in data and "gcs_uris" not in data):
             return json_response({"error": "Missing GCS URI or settings"}, 400)
-        publish(data)
         if "gcs_uris" in data:
             # album job (framework extension): one batched device call,
-            # per-file outputs — clients poll each filename as usual
-            names = [os.path.basename(u.rstrip("/").split("/")[-1])
-                     for u in data["gcs_uris"]]
+            # per-file outputs — clients poll each filename as usual.
+            # Validate BEFORE publishing: a string (iterates per char) or
+            # an empty list would otherwise become an unusable queued job
+            # behind a misleading 200.
+            uris = data["gcs_uris"]
+            if (not isinstance(uris, (list, tuple)) or not uris
+                    or not all(isinstance(u, str) and "://" in u
+                               for u in uris)):
+                return json_response(
+                    {"error": "gcs_uris must be a non-empty list of URIs"},
+                    400)
+            publish(data)
             return json_response({
                 "message": "Processing job started.",
                 "processed_filenames":
-                    [f"processed/mastered_{n}" for n in names]})
+                    [store_mod.output_key_for(u) for u in uris]})
+        publish(data)
         original = data["settings"].get("original_filename", "unknown.wav")
         processed = f"processed/mastered_{original}"
         return json_response({"message": "Processing job started.",

@@ -22,7 +22,7 @@ import os
 import time
 
 __all__ = ["BlobStore", "LocalFSBlobStore", "GCSBlobStore", "parse_uri",
-           "get_store"]
+           "output_key_for", "get_store"]
 
 
 def parse_uri(uri: str):
@@ -30,6 +30,18 @@ def parse_uri(uri: str):
     scheme, rest = uri.split("://", 1)
     bucket, key = rest.split("/", 1)
     return scheme, bucket, key
+
+
+def output_key_for(uri: str) -> str:
+    """The job-output naming contract (worker engine:92):
+    ``processed/mastered_{basename}``.  ONE definition shared by the
+    backend (poll-name response) and the worker (blob writer) — if the
+    sides derived it independently, a drift would leave clients polling
+    names that are never written."""
+    import os
+
+    _, _, key = parse_uri(uri)
+    return f"processed/mastered_{os.path.basename(key)}"
 
 
 class BlobStore:

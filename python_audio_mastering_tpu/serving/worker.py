@@ -19,20 +19,16 @@ bounded retries are safe: ``max_retries`` re-runs before flagging failure.
 
 from __future__ import annotations
 
-import os
 import traceback
 
 from python_audio_mastering_tpu import engine
 from python_audio_mastering_tpu.serving.http import App, text_response
 from python_audio_mastering_tpu.serving.jobqueue import decode_envelope
-from python_audio_mastering_tpu.serving.store import BlobStore, parse_uri
+from python_audio_mastering_tpu.serving.store import BlobStore, output_key_for
 
 __all__ = ["make_consumer", "make_worker_app", "run_job"]
 
-
-def _output_key(uri: str) -> str:
-    _, _, key = parse_uri(uri)
-    return f"processed/mastered_{os.path.basename(key)}"
+_output_key = output_key_for  # shared naming contract (store.output_key_for)
 
 
 def run_job(payload: dict, store: BlobStore, max_retries: int = 1,
@@ -48,7 +44,20 @@ def run_job(payload: dict, store: BlobStore, max_retries: int = 1,
     settings = payload.get("settings")
     if (not gcs_uri and not uris) or not settings:
         raise ValueError(f"Missing GCS URI or settings in job data: {payload}")
-    out_keys = [_output_key(u) for u in (uris or [gcs_uri])]
+    # Derive keys defensively: one malformed URI must not prevent the
+    # .failed flags of the parseable ones (otherwise every file of the job
+    # polls forever — the reference's lost-job mode this module exists to
+    # fix).
+    out_keys, bad_uri_err = [], None
+    for u in (uris or [gcs_uri]):
+        try:
+            out_keys.append(_output_key(u))
+        except Exception as e:  # noqa: BLE001 — malformed client input
+            bad_uri_err = ValueError(f"malformed job URI {u!r}: {e}")
+    if bad_uri_err is not None:
+        for k in out_keys:
+            store.upload(f"{k}.failed", str(bad_uri_err).encode("utf-8"))
+        raise bad_uri_err
     last = None
     for attempt in range(max_retries + 1):
         try:

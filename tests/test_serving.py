@@ -301,3 +301,41 @@ def test_album_job_flow(stack):
         y, fs_out = wavio.read_wav(store.download(p))
         assert fs_out == FS  # mixed-rate track was batched at album rate
         assert np.isfinite(y).all() and np.abs(y).max() <= 1.0
+
+
+def test_album_job_validation_and_failure_flags(stack):
+    """Malformed album requests 400 before publishing; a job with one
+    malformed URI still writes .failed flags for the parseable files so
+    nothing polls forever."""
+    store, q, backend = stack
+
+    for bad in ("local://b/u.wav",  # string, not a list
+                [],                 # empty
+                ["not-a-uri"]):     # no scheme
+        status, resp = backend.get_json(
+            "POST", "/start-processing",
+            {"gcs_uris": bad, "settings": {"lufs": -14.0}})
+        assert status == 400, f"expected 400 for {bad!r}"
+
+    # a syntactically-valid but unparseable URI sneaking to the worker:
+    # the good file's .failed flag must still be written
+    from python_audio_mastering_tpu.serving.worker import run_job
+
+    with pytest.raises(ValueError):
+        run_job({"gcs_uris": ["local://test-bucket/up/x.wav", "bad://nokey"],
+                 "settings": {"lufs": -14.0}}, store)
+    assert store.exists("processed/mastered_x.wav.failed")
+
+
+def test_album_mixed_channel_conform():
+    """A mono + stereo album conforms: the mono track upmixes to stereo
+    so the padded batch is well-formed."""
+    from python_audio_mastering_tpu import engine
+
+    mono = (make_signal(8000) * 0.4).astype(np.float32)[:, :1]
+    stereo = (make_signal(9000, seed=1) * 0.4).astype(np.float32)
+    tracks, fs = engine.conform_album_tracks(
+        [(mono, FS), (stereo, FS)], ["m.wav", "s.wav"], lambda m: None)
+    assert fs == FS
+    assert tracks[0].shape == (8000, 2) and tracks[1].shape == (9000, 2)
+    np.testing.assert_array_equal(tracks[0][:, 0], tracks[0][:, 1])
