@@ -183,8 +183,9 @@ class ChainConfig:
     limiter_threshold: float = 0.98
     # "reference": the engine's instantaneous soft knee (engine:224-227).
     # "lookahead_truepeak": brickwall true-peak lookahead limiter
-    # (ops/limiter.py) — a quality upgrade; works in one-shot master() AND
-    # the streaming runner (delay-line/release state carried across chunks).
+    # (ops/limiter.py) — a quality upgrade; works in one-shot master(),
+    # the streaming runner, AND the batched album path (per-track
+    # delay-line/release state carried across chunks).
     limiter_mode: str = "reference"
 
     def jnp_dtype(self):

@@ -130,7 +130,28 @@ def _compiled_album(config: ChainConfig):
                     threshold=config.limiter_threshold)
         return strm.requantize_pcm16(y) if emit_i16 else y
 
-    return fx, gains_fn, finalize
+    @functools.partial(jax.jit, static_argnames=("flush", "emit_i16"))
+    def finalize_la(chunk, g, lstate, flush=False, emit_i16=False):
+        """Quality mode (lookahead true-peak limiter), batched over tracks:
+        per-track carried delay-line/release state, same chunked contract
+        as streaming._finalize_lookahead.  Padding zeros after a track's
+        real end are what the one-shot limiter's own edge padding would
+        contain, so per-track outputs match the one-shot quality master."""
+        from python_audio_mastering_tpu.ops import limiter as lim
+
+        def one(c, s):
+            return lim.lookahead_limiter_chunk(
+                c, s, config.sample_rate, flush=flush)
+
+        if chunk is None:
+            out, ns = jax.vmap(lambda s: one(None, s))(lstate)
+        else:
+            out, ns = jax.vmap(one)(chunk * g[:, None, None], lstate)
+        if emit_i16:
+            out = strm.requantize_pcm16(out)
+        return out, ns
+
+    return fx, gains_fn, finalize, finalize_la
 
 
 def master_album_streamed(tracks: Sequence[np.ndarray], params,
@@ -185,7 +206,7 @@ def master_album_streamed(tracks: Sequence[np.ndarray], params,
     num_chunks = max(1, -(-n // chunk_frames))
     dtype = config.jnp_dtype()
 
-    fx, gains_fn, finalize = _compiled_album(config)
+    fx, gains_fn, finalize, finalize_la = _compiled_album(config)
 
     state = strm.StreamState()  # replaced by per-track states after chunk 0
     processed = []
@@ -262,7 +283,29 @@ def master_album_streamed(tracks: Sequence[np.ndarray], params,
         gains = jnp.ones((batch.shape[0],), dtype)
         measured = jnp.full((batch.shape[0],), jnp.nan, dtype)
 
-    finalized = [finalize(y, gains, emit_i16=pcm16) for y in processed]
+    if config.limiter_mode == "lookahead_truepeak":
+        # quality mode streams here too: trim the padded tail of the final
+        # chunk so the flush drains at the real signal end, carry per-track
+        # limiter state across chunks, one flush call at the end
+        from python_audio_mastering_tpu.ops import limiter as lim
+
+        init = lim.lookahead_limiter_init(batch.shape[2], dtype)
+        lstate = jax.tree.map(
+            lambda leaf: jnp.broadcast_to(
+                leaf, (batch.shape[0],) + jnp.shape(leaf)), init)
+        rem = n - (num_chunks - 1) * chunk_frames
+        finalized = []
+        for i, y in enumerate(processed):
+            if i == num_chunks - 1 and rem < chunk_frames:
+                y = jax.lax.slice_in_dim(y, 0, rem, axis=1)
+            o, lstate = finalize_la(y, gains, lstate, emit_i16=pcm16)
+            if o.shape[1]:
+                finalized.append(o)
+        o, _ = finalize_la(None, gains, lstate, flush=True, emit_i16=pcm16)
+        if o.shape[1]:
+            finalized.append(o)
+    else:
+        finalized = [finalize(y, gains, emit_i16=pcm16) for y in processed]
     # Compute-phase barrier before the bulk readback (see h2d barrier note).
     _tiny_readback(finalized[-1])
     if timings is not None:

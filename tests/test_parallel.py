@@ -106,3 +106,25 @@ def test_album_streamed_pcm16_and_timings():
     n_pad = -(-tracks[0].shape[0] // cf) * cf
     t_pad = pmesh.make_mesh().devices.size  # tracks padded to a device multiple
     assert tm["wire_bytes_in"] == t_pad * n_pad * 2 * 2  # T×N_pad×C×int16
+
+
+def test_album_streamed_lookahead_quality_mode():
+    """limiter_mode="lookahead_truepeak" works in the batched album path:
+    each track equals its own one-shot quality-mode master (the padded
+    zeros past a track's end match the one-shot limiter's edge padding)."""
+    import dataclasses
+
+    from python_audio_mastering_tpu.models.chain import master
+
+    cfg = dataclasses.replace(
+        ChainConfig(sample_rate=FS, dtype="float64"),
+        limiter_mode="lookahead_truepeak")
+    tracks = [(make_signal(int(FS * (0.9 + 0.4 * i)), seed=i) * 0.9)
+              for i in range(3)]  # hot tracks -> limiter active
+    params = MasteringParams.from_settings({"preset": "rock", "lufs": -9.0})
+    outs, _ = pbatch.master_album_streamed(tracks, params, cfg,
+                                           chunk_seconds=0.5)
+    for i, t in enumerate(tracks):
+        ref = np.asarray(master(t, params, cfg))
+        assert outs[i].shape == ref.shape
+        np.testing.assert_allclose(outs[i], ref, rtol=1e-9, atol=1e-9)
