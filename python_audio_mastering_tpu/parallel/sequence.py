@@ -148,6 +148,104 @@ def _sharded_ballistics(stats, axis, block_ctrl, overlap_ctrl, coarse=64):
     return att
 
 
+def _sharded_lookahead(x, axis, n_valid, sample_rate, ceiling_db=-1.0,
+                       lookahead_ms=1.5, release_ms=60.0, true_peak=True):
+    """EXACT lookahead true-peak limiter under shard_map.
+
+    Every stage except the release has finite support, so halo exchange
+    suffices: the true-peak interpolator needs ±khalf samples, the
+    erosion (centered windowed min) ±look, the moving average +look —
+    one backward halo of ``look+khalf`` and one forward halo of
+    ``2·look+khalf`` samples via ``ppermute``.  Subtleties that keep this
+    bit-matched to the one-shot :func:`ops.limiter.lookahead_limiter` on
+    the UNPADDED track:
+
+    * zero halos at the global edges reproduce the one-shot's zero-padded
+      interpolator, and raw-gain 1.0 entries from zeros can never lower
+      the erosion min (raw ≤ 1 and the real entries stay in-window), so
+      erosion is exact without explicit edge replication;
+    * the one-shot's END replication (``att[-1]`` padding of the moving
+      average) is emulated arithmetically: window entries at global
+      positions ≥ ``n_valid`` are replaced by the attack gain at
+      ``n_valid−1`` (fetched with one masked ``psum``);
+    * the release recurrence's per-step maps are clamp-affine
+      ``(scale, offset, cap)`` triples, closed under composition — each
+      shard composes its own map with a local ``associative_scan``, the D
+      shard-total maps ``all_gather`` and prefix-compose in a tiny
+      replicated scan, and each shard applies its incoming gain exactly
+      (the IIR boundary-state pattern, for a nonlinear-but-composable op).
+    """
+    import math as _math
+
+    from python_audio_mastering_tpu.ops import limiter as lim
+
+    d = jax.lax.axis_size(axis)
+    idx = jax.lax.axis_index(axis)
+    n_loc, c = x.shape
+    dt = x.dtype
+    ceiling = jnp.asarray(10.0 ** (ceiling_db / 20.0), dt)
+    look = max(1, int(lookahead_ms * sample_rate / 1000.0))
+    khalf = lim._tp_khalf(true_peak)
+    back = look + khalf
+    fwd = 2 * look + khalf
+
+    prev_tail = jax.lax.ppermute(x[-back:], axis,
+                                 [(i, i + 1) for i in range(d - 1)])
+    prev_tail = jnp.where(idx == 0, jnp.zeros_like(prev_tail), prev_tail)
+    next_head = jax.lax.ppermute(x[:fwd], axis,
+                                 [(i + 1, i) for i in range(d - 1)])
+    next_head = jnp.where(idx == d - 1, jnp.zeros_like(next_head), next_head)
+    ext = jnp.concatenate([prev_tail, x, next_head])  # (back+n_loc+fwd, C)
+
+    peak = lim._peak_env(ext, true_peak)
+    raw = jnp.minimum(1.0, ceiling / jnp.maximum(peak, 1e-9))
+    # att[j] = min(raw[j-look .. j+look]) for local j in [0, n_loc+look)
+    seg = raw[back - look:]
+    att = lim._windowed_min_forward(seg, 2 * look + 1)[: n_loc + look]
+
+    if look > 1:
+        # moving average with the one-shot's end replication at n_valid
+        gpos = idx * n_loc + jnp.arange(n_loc + look)
+        att_last = jax.lax.psum(
+            jnp.sum(jnp.where((gpos == n_valid - 1)
+                              & (jnp.arange(n_loc + look) < n_loc),
+                              att, 0.0)), axis)
+        att_m = jnp.where(gpos < n_valid, att, 0.0)
+        csum = jnp.concatenate([jnp.zeros((1,), dt), jnp.cumsum(att_m)])
+        win_sum = csum[look: n_loc + look] - csum[:n_loc]
+        gpos_loc = idx * n_loc + jnp.arange(n_loc)
+        in_valid = jnp.clip(n_valid - gpos_loc, 0, look).astype(dt)
+        att_gain = (win_sum + (look - in_valid) * att_last) / look
+    else:
+        att_gain = att[:n_loc]
+
+    # sharded exact release: local prefix maps + cross-shard composition
+    rho = jnp.asarray(_math.exp(-1.0 / (release_ms * sample_rate / 1000.0)),
+                      dt)
+    scale = jnp.full((n_loc,), rho, dt)
+    offset = jnp.full((n_loc,), 1.0 - rho, dt)
+    cap = att_gain
+
+    def combine(left, right):
+        s1, o1, c1 = left
+        s2, o2, c2 = right
+        return (s1 * s2, o1 * s2 + o2, jnp.minimum(c2, c1 * s2 + o2))
+
+    s_p, o_p, c_p = jax.lax.associative_scan(combine, (scale, offset, cap))
+    totals = tuple(jax.lax.all_gather(t[-1], axis) for t in (s_p, o_p, c_p))
+
+    def comp_step(carry, tot):
+        return combine(carry, tot), carry
+
+    ident = (jnp.asarray(1.0, dt), jnp.asarray(0.0, dt),
+             jnp.asarray(jnp.inf, dt))
+    _, incoming = jax.lax.scan(comp_step, ident, totals)
+    s_in, o_in, c_in = jax.tree.map(lambda t: t[idx], incoming)
+    g_in = jnp.minimum(c_in, s_in * 1.0 + o_in)  # global g0 = 1
+    gains = jnp.minimum(c_p, s_p * g_in + o_p)
+    return x * gains[:, None]
+
+
 def _chain_shard(x, params, n_valid, config: ChainConfig, axis: str,
                  sp_ballistics: str = "approx"):
     fs = config.sample_rate
@@ -212,7 +310,9 @@ def _chain_shard(x, params, n_valid, config: ChainConfig, axis: str,
         measured = jnp.asarray(jnp.nan, x.dtype)
         gain_db = jnp.zeros((), x.dtype)
 
-    if config.variant == "worker":
+    if config.limiter_mode == "lookahead_truepeak":
+        x = _sharded_lookahead(x, axis, n_valid, fs)
+    elif config.variant == "worker":
         x = soft_limiter(x, threshold=config.limiter_threshold)
     else:
         x = soft_limiter_legacy(x, threshold=config.limiter_threshold)

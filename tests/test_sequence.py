@@ -93,3 +93,43 @@ def test_album_sharded_2d_matches_per_track():
         assert outs[i].shape == ref.shape
         np.testing.assert_allclose(outs[i], ref, rtol=1e-9, atol=1e-11)
         assert np.isfinite(measured[i])
+
+
+def test_sharded_lookahead_limiter_exact():
+    """Quality mode under sequence parallelism: the halo-exchanged
+    erosion/average + composed clamp-affine release must equal the
+    one-shot lookahead limiter at float tolerance, including the
+    end-replication emulation at the (unaligned) true track end."""
+    x = make_signal(FS * 2 + 1234, fs=FS) * 0.95  # hot -> limiter active
+    p = MasteringParams.from_settings({"preset": "rock", "lufs": -9.0})
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        ChainConfig(sample_rate=FS, dtype="float64", filter_method="blocked"),
+        limiter_mode="lookahead_truepeak")
+    ref = np.asarray(master(x, p, cfg))
+    assert np.abs(ref).max() < np.abs(np.asarray(x)).max()  # it limited
+    got, _, _ = sequence.master_track_sharded(x, p, cfg)
+    np.testing.assert_allclose(got, ref, rtol=1e-9, atol=1e-11)
+
+
+def test_album_sharded_2d_quality_mode():
+    """Quality mode composes with 2-D (tracks × frames) parallelism: the
+    vmapped sharded lookahead limiter (halo ppermutes + psum + composed
+    release) batches across the tracks axis."""
+    import dataclasses
+
+    from python_audio_mastering_tpu.parallel.mesh import make_mesh_2d
+    from python_audio_mastering_tpu.parallel.sequence import (
+        master_album_sharded)
+
+    cfg = dataclasses.replace(
+        ChainConfig(sample_rate=FS, dtype="float64", filter_method="blocked"),
+        limiter_mode="lookahead_truepeak")
+    tracks = [make_signal(int(FS * 1.1), fs=FS, seed=s) * 0.9 for s in (0, 1)]
+    params = MasteringParams.from_settings({"preset": "rock", "lufs": -9.0})
+    outs, _ = master_album_sharded(tracks, params, cfg,
+                                   mesh=make_mesh_2d(tracks=2))
+    for i, t in enumerate(tracks):
+        ref = np.asarray(master(t, params, cfg))
+        np.testing.assert_allclose(outs[i], ref, rtol=1e-9, atol=1e-11)
