@@ -208,7 +208,8 @@ def conform_album_tracks(loaded, names=None, progress_cb=None):
 def process_album_from_uris(uris: list, settings: dict,
                             store: store_mod.BlobStore | None = None,
                             config: ChainConfig | None = None,
-                            progress_cb=None, transfer: str = "float32") -> list:
+                            progress_cb=None, transfer: str = "float32",
+                            checkpoint_dir: str | None = None) -> list:
     """Cloud album engine (framework extension — the reference fans out one
     Pub/Sub message per file; this masters a whole album as ONE batched,
     chunked device call, ``parallel.batch.master_album_streamed``).
@@ -244,7 +245,8 @@ def process_album_from_uris(uris: list, settings: dict,
     cfg = config or default_config(fs_album)
     cb(f"Processing album of {len(tracks)} tracks in chunks...")
     outs, _ = master_album_streamed(tracks, params, cfg, progress_cb=cb,
-                                    transfer=transfer)
+                                    transfer=transfer,
+                                    checkpoint_dir=checkpoint_dir)
 
     out_keys = []
     for uri, out in zip(uris, outs):

@@ -157,7 +157,9 @@ def _compiled_album(config: ChainConfig):
 def master_album_streamed(tracks: Sequence[np.ndarray], params,
                           config: ChainConfig, mesh=None,
                           chunk_seconds: float = 30.0, progress_cb=None,
-                          transfer: str = "float32", timings: dict | None = None):
+                          transfer: str = "float32",
+                          timings: dict | None = None,
+                          checkpoint_dir: str | None = None):
     """Album mastering, batched over tracks AND chunked over time.
 
     The production path for long albums: device memory is bounded by
@@ -172,7 +174,11 @@ def master_album_streamed(tracks: Sequence[np.ndarray], params,
     the link, not the chip, bounds album throughput).  ``timings``: pass a
     dict to receive an h2d/compute/d2h wall-time breakdown (adds sync
     barriers between phases, so end-to-end overlap is measured separately
-    by calling without it).
+    by calling without it).  ``checkpoint_dir``: chunk-granular atomic
+    checkpoints (same format/machinery as ``streaming.master_streamed``);
+    an interrupted album job resumes from the last completed chunk instead
+    of restarting — note each checkpoint reads the batched chunk back to
+    the host, which costs real wall time on link-bound deployments.
     """
     import dataclasses as _dc
     import time as _time
@@ -258,14 +264,27 @@ def master_album_streamed(tracks: Sequence[np.ndarray], params,
             timings["wire_bytes_in"] = batch_bytes
         t_start = _time.perf_counter()
 
-    next_dev = chunk_at(0)
-    for i in range(num_chunks):
+    i0 = 0
+    if checkpoint_dir:
+        import os as _os
+
+        _os.makedirs(checkpoint_dir, exist_ok=True)
+        i0, state, processed, cells_list = strm._load_checkpoints(
+            checkpoint_dir, num_chunks, dtype)
+        if i0 and progress_cb:
+            progress_cb(f"Resuming from checkpoint: {i0}/{num_chunks} "
+                        "chunks already processed.")
+
+    next_dev = chunk_at(i0) if i0 < num_chunks else None
+    for i in range(i0, num_chunks):
         cur = next_dev
         if i + 1 < num_chunks:
             next_dev = chunk_at(i + 1)
         y, state, cells = fx(cur, stacked, state, first=(i == 0))
         processed.append(y)
         cells_list.append(cells)
+        if checkpoint_dir:
+            strm._save_checkpoint(checkpoint_dir, i, y, state, cells)
         if progress_cb:
             progress_cb(f"Processed chunk {i + 1}/{num_chunks} "
                         f"({batch.shape[0]} tracks)...")

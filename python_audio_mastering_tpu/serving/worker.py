@@ -20,6 +20,7 @@ bounded retries are safe: ``max_retries`` re-runs before flagging failure.
 from __future__ import annotations
 
 import traceback
+from os.path import join as _os_path_join
 
 from python_audio_mastering_tpu import engine
 from python_audio_mastering_tpu.serving.http import App, text_response
@@ -59,11 +60,26 @@ def run_job(payload: dict, store: BlobStore, max_retries: int = 1,
             store.upload(f"{k}.failed", str(bad_uri_err).encode("utf-8"))
         raise bad_uri_err
     last = None
+    ckpt_dir = None
+    if uris:
+        # chunk-granular checkpoints keyed by the job's URI set: a retry
+        # after a mid-album crash resumes from the last completed chunk
+        # instead of re-mastering the whole album
+        import hashlib
+        import tempfile
+
+        job_id = hashlib.sha1("\n".join(uris).encode()).hexdigest()[:16]
+        ckpt_dir = _os_path_join(tempfile.gettempdir(),
+                                 "pam_album_ckpt", job_id)
     for attempt in range(max_retries + 1):
         try:
             if uris:
                 engine.process_album_from_uris(uris, settings, store=store,
-                                               config=config)
+                                               config=config,
+                                               checkpoint_dir=ckpt_dir)
+                import shutil
+
+                shutil.rmtree(ckpt_dir, ignore_errors=True)
             else:
                 engine.process_audio_from_uri(gcs_uri, settings, store=store,
                                               config=config)

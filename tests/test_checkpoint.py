@@ -61,3 +61,43 @@ def test_completed_checkpoints_skip_all_compute(tmp_path):
     assert not any(m.startswith("Processed chunk") for m in msgs)
     np.testing.assert_array_equal(first, again)
     assert m1 == m2
+
+
+def test_album_resume_matches_uninterrupted(tmp_path):
+    """Album checkpoint/resume: an interrupted batched album job resumes
+    from the last completed chunk and reproduces the uninterrupted result
+    for every track."""
+    from python_audio_mastering_tpu.parallel import batch as pbatch
+
+    tracks = [make_signal(int(FS * 1.2), fs=FS, seed=s) * 0.4 for s in (0, 1)]
+    params = MasteringParams.from_settings(
+        {"preset": "pop", "lufs": -15.0, "multiband": True})
+    cfg = ChainConfig(sample_rate=FS, dtype="float64")
+
+    full, m_full = pbatch.master_album_streamed(tracks, params, cfg,
+                                                chunk_seconds=0.4)
+
+    ckpt = str(tmp_path / "albumjob")
+
+    class Stop(Exception):
+        pass
+
+    def interrupt(msg):
+        if "Processed chunk 2/" in msg:
+            raise Stop()
+
+    try:
+        pbatch.master_album_streamed(tracks, params, cfg, chunk_seconds=0.4,
+                                     progress_cb=interrupt,
+                                     checkpoint_dir=ckpt)
+    except Stop:
+        pass
+
+    msgs = []
+    outs, measured = pbatch.master_album_streamed(
+        tracks, params, cfg, chunk_seconds=0.4, progress_cb=msgs.append,
+        checkpoint_dir=ckpt)
+    assert any(m.startswith("Resuming from checkpoint: 2/") for m in msgs)
+    for i in range(2):
+        np.testing.assert_allclose(outs[i], full[i], rtol=1e-12, atol=1e-14)
+        assert abs(measured[i] - m_full[i]) < 1e-12
