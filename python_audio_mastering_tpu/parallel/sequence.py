@@ -247,7 +247,7 @@ def _sharded_lookahead(x, axis, n_valid, sample_rate, ceiling_db=-1.0,
 
 
 def _chain_shard(x, params, n_valid, config: ChainConfig, axis: str,
-                 sp_ballistics: str = "approx"):
+                 sp_ballistics: str = "approx", want_meters: bool = False):
     fs = config.sample_rate
     run_iir = functools.partial(iir.sosfilt_sharded, axis_name=axis,
                                 block_size=config.block_size)
@@ -291,7 +291,9 @@ def _chain_shard(x, params, n_valid, config: ChainConfig, axis: str,
         x = (jnp.stack(bands) * gains.T[:, :, None]).sum(axis=0)
 
     # global gated loudness from shard-local cells
-    if params.lufs_enabled:
+    all_cells = None
+    gain = jnp.ones((), x.dtype)
+    if params.lufs_enabled or want_meters:
         meter = x.mean(axis=1, keepdims=True) \
             if config.measure_downmix == "reference_mono_mean" else x
         kw = jnp.asarray(kweight_sos(fs), x.dtype)
@@ -300,6 +302,8 @@ def _chain_shard(x, params, n_valid, config: ChainConfig, axis: str,
         n_cells = kx.shape[0] // cell
         cells = (kx[: n_cells * cell] ** 2).reshape(n_cells, cell, -1).mean(axis=1)
         all_cells = jax.lax.all_gather(cells, axis).reshape(-1, cells.shape[-1])
+    if params.lufs_enabled:
+        cell = int(round(0.1 * fs))
         mask = jnp.arange(all_cells.shape[0]) < (n_valid // cell)
         measured = loud.loudness_from_cells(all_cells, cell_mask=mask)
         gain = 10.0 ** ((jnp.asarray(params.lufs, x.dtype) - measured) / 20.0)
@@ -316,12 +320,31 @@ def _chain_shard(x, params, n_valid, config: ChainConfig, axis: str,
         x = soft_limiter(x, threshold=config.limiter_threshold)
     else:
         x = soft_limiter_legacy(x, threshold=config.limiter_threshold)
-    return x, measured, gain_db
+    if not want_meters:
+        return x, measured, gain_db
+
+    # sharded true peak of the finalized output: carried-tail pattern —
+    # interior shards exclude interpolation windows touching their zero
+    # padding (the neighbour re-evaluates them with real context); the last
+    # shard's trailing zeros ARE the one-shot end padding, so it includes
+    # them (see parallel.streaming._tp_chunk for the single-device analog)
+    from python_audio_mastering_tpu.ops.meters import true_peak_linear
+
+    d = jax.lax.axis_size(axis)
+    idx = jax.lax.axis_index(axis)
+    tail = jax.lax.ppermute(x[-32:], axis, [(i, i + 1) for i in range(d - 1)])
+    tail = jnp.where(idx == 0, jnp.zeros_like(tail), tail)
+    ext = jnp.concatenate([tail, x])
+    tp_interior = true_peak_linear(ext, exclude_pad=(True, True))
+    tp_last = true_peak_linear(ext, exclude_pad=(True, False))
+    tp = jax.lax.pmax(jnp.where(idx == d - 1, tp_last, tp_interior), axis)
+    return x, measured, gain_db, all_cells * (gain ** 2), tp
 
 
 def master_track_sharded(audio, params: MasteringParams, config: ChainConfig,
                          mesh=None, axis: str = "seq",
-                         sp_ballistics: str = "approx"):
+                         sp_ballistics: str = "approx",
+                         return_meters: bool = False):
     """Master one long track sharded over the mesh's devices.
 
     ``sp_ballistics``: ``"approx"`` (default — coarse-warm-start blocked
@@ -330,7 +353,13 @@ def master_track_sharded(audio, params: MasteringParams, config: ChainConfig,
     op itself serializes across shards; the rest of the chain still
     shards).
 
-    Returns ``(audio_out np.ndarray, measured_lufs, gain_db)``.
+    ``return_meters``: also return the R128 meter family (momentary/
+    short-term/LRA/true-peak/integrated) computed from the gathered 100 ms
+    cells and a sharded true-peak pass — same dict as
+    ``streaming.master_streamed(return_meters=True)``.
+
+    Returns ``(audio_out np.ndarray, measured_lufs, gain_db)`` and a
+    meters dict when ``return_meters``.
     """
     if mesh is None:
         mesh = make_mesh(axis)
@@ -347,21 +376,43 @@ def master_track_sharded(audio, params: MasteringParams, config: ChainConfig,
     x = np.concatenate([np.asarray(audio),
                         np.zeros((n_pad - n, c), np.asarray(audio).dtype)])
 
+    out_specs = (P(axis, None), P(), P())
+    if return_meters:
+        out_specs = out_specs + (P(), P())
     fn = jax.jit(
         jax.shard_map(
             functools.partial(_chain_shard, config=config, axis=axis,
-                              sp_ballistics=sp_ballistics),
+                              sp_ballistics=sp_ballistics,
+                              want_meters=return_meters),
             mesh=mesh, in_specs=(P(axis, None), P(), P()),
-            out_specs=(P(axis, None), P(), P()), check_vma=False),
+            out_specs=out_specs, check_vma=False),
     )
     x_dev = jax.device_put(
         jnp.asarray(x, config.jnp_dtype()),
         NamedSharding(mesh, P(axis, None)))
-    y, measured, gain_db = fn(x_dev, params, jnp.asarray(n))
+    res = fn(x_dev, params, jnp.asarray(n))
+    y, measured, gain_db = res[:3]
     out = np.asarray(y)[:n]
     if squeeze:
         out = out[:, 0]
-    return out, float(measured), float(gain_db)
+    if not return_meters:
+        return out, float(measured), float(gain_db)
+
+    from python_audio_mastering_tpu.ops import meters as met
+
+    cells, tp = res[3], res[4]
+    valid_cells = jnp.asarray(cells)[: n // cell]
+    mom = met._sliding_loudness(valid_cells, 4)
+    st = met._sliding_loudness(valid_cells, 30)
+    gain_db_f = float(gain_db)
+    meters = {
+        "momentary_lufs": np.asarray(mom),
+        "short_term_lufs": np.asarray(st),
+        "lra_lu": float(met.lra_from_shortterm(st)),
+        "true_peak_dbtp": float(20.0 * np.log10(max(float(tp), 1e-12))),
+        "integrated_lufs": float(measured) + gain_db_f,
+    }
+    return out, float(measured), gain_db_f, meters
 
 
 def master_album_sharded(tracks, params, config: ChainConfig, mesh=None,

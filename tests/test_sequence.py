@@ -133,3 +133,25 @@ def test_album_sharded_2d_quality_mode():
     for i, t in enumerate(tracks):
         ref = np.asarray(master(t, params, cfg))
         np.testing.assert_allclose(outs[i], ref, rtol=1e-9, atol=1e-11)
+
+
+def test_sharded_meters_match_streaming_meters():
+    """SP return_meters equals the streaming runner's meter family on the
+    same signal (same gathered-cells math; sharded true-peak pass)."""
+    from python_audio_mastering_tpu.parallel import streaming
+
+    x = make_signal(FS * 3 + 517, fs=FS) * 0.5
+    p = MasteringParams.from_settings({"preset": "pop", "lufs": -18.0})
+    cfg = ChainConfig(sample_rate=FS, dtype="float64", filter_method="blocked")
+    out_s, m_s, g_s, met_s = streaming.master_streamed(
+        x, p, cfg, chunk_seconds=1.0, return_meters=True)
+    out_q, m_q, g_q, met_q = sequence.master_track_sharded(
+        x, p, cfg, return_meters=True)
+    np.testing.assert_allclose(out_q, out_s, rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(met_q["momentary_lufs"],
+                               met_s["momentary_lufs"], rtol=0, atol=1e-9)
+    np.testing.assert_allclose(met_q["short_term_lufs"],
+                               met_s["short_term_lufs"], rtol=0, atol=1e-9)
+    assert abs(met_q["lra_lu"] - met_s["lra_lu"]) < 1e-9
+    assert abs(met_q["true_peak_dbtp"] - met_s["true_peak_dbtp"]) < 1e-9
+    assert abs(met_q["integrated_lufs"] - met_s["integrated_lufs"]) < 1e-9
