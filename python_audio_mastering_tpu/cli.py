@@ -41,6 +41,9 @@ def _add_settings_args(p):
     p.add_argument("--exact", action="store_true",
                    help="bit-exact contract mode (slower; default is the "
                         "fast TPU execution config)")
+    p.add_argument("--quality", action="store_true",
+                   help="lookahead true-peak brickwall limiter instead of "
+                        "the reference soft knee")
 
 
 def _settings_from_args(args) -> dict:
@@ -61,14 +64,18 @@ def _settings_from_args(args) -> dict:
 
 
 def _config_from_args(args, sample_rate):
+    import dataclasses
+
     from python_audio_mastering_tpu.config import ChainConfig
 
     if args.exact:
-        return ChainConfig(sample_rate=sample_rate, variant=args.variant)
-    cfg = ChainConfig.tpu_default(sample_rate=sample_rate)
-    import dataclasses
-
-    return dataclasses.replace(cfg, variant=args.variant)
+        cfg = ChainConfig(sample_rate=sample_rate, variant=args.variant)
+    else:
+        cfg = dataclasses.replace(ChainConfig.tpu_default(
+            sample_rate=sample_rate), variant=args.variant)
+    if getattr(args, "quality", False):
+        cfg = dataclasses.replace(cfg, limiter_mode="lookahead_truepeak")
+    return cfg
 
 
 def cmd_master(args):

@@ -51,10 +51,23 @@ def default_config(sample_rate: int) -> ChainConfig:
     return ChainConfig.tpu_default(sample_rate=sample_rate)
 
 
+def _config_for(settings: dict, sample_rate: int,
+                config: ChainConfig | None) -> ChainConfig:
+    """Resolve the chain config for a job, honoring the optional
+    ``quality`` settings key (framework extension): truthy → the
+    lookahead true-peak limiter instead of the reference soft knee."""
+    import dataclasses
+
+    cfg = config or default_config(sample_rate)
+    if settings.get("quality") and cfg.limiter_mode == "reference":
+        cfg = dataclasses.replace(cfg, limiter_mode="lookahead_truepeak")
+    return cfg
+
+
 def _run_chain(audio: np.ndarray, sample_rate: int, settings: dict,
                progress_cb=None, config: ChainConfig | None = None):
     params = MasteringParams.from_settings(settings)
-    cfg = config or default_config(sample_rate)
+    cfg = _config_for(settings, sample_rate, config)
     out, measured, gain_db = master_streamed(audio, params, cfg,
                                              progress_cb=progress_cb)
     if params.lufs_enabled and progress_cb:
@@ -242,7 +255,7 @@ def process_album_from_uris(uris: list, settings: dict,
     tracks, fs_album = conform_album_tracks(loaded, keys, cb)
 
     params = MasteringParams.from_settings(settings)
-    cfg = config or default_config(fs_album)
+    cfg = _config_for(settings, fs_album, config)
     cb(f"Processing album of {len(tracks)} tracks in chunks...")
     outs, _ = master_album_streamed(tracks, params, cfg, progress_cb=cb,
                                     transfer=transfer,

@@ -148,3 +148,16 @@ def test_cli_album(tmp_path):
 
     rc = cli.main(["album", str(tmp_path / "nope"), str(out_dir)])
     assert rc == 1
+
+
+def test_cli_master_quality_flag(tmp_path, in_wav):
+    from python_audio_mastering_tpu import cli
+    from python_audio_mastering_tpu.io import wavio
+    from python_audio_mastering_tpu.ops import meters as met
+
+    out = str(tmp_path / "q.wav")
+    rc = cli.main(["master", in_wav, out, "--lufs", "-9", "--exact",
+                   "--quality"])
+    assert rc == 0
+    y, _ = wavio.read_wav(out)
+    assert float(met.true_peak_db(y)) <= -0.8

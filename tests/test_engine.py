@@ -141,3 +141,22 @@ def test_process_audio_from_uri_output_sample_rate(tmp_path):
     out, fs = wavio.read_wav(store.download(key))
     assert fs == 48000
     assert out.shape[0] == -(-FS * 160 // 147)
+
+
+def test_quality_settings_key(tmp_path):
+    """The optional `quality` settings key switches the chain to the
+    lookahead true-peak limiter: a hot master stays under the -1 dBTP
+    ceiling where the reference soft knee lets inter-sample peaks through."""
+    from python_audio_mastering_tpu.ops import meters as met
+
+    in_path = str(tmp_path / "in.wav")
+    x = (make_signal(FS, seed=5) * 0.9).astype(np.float32)
+    wavio.write_wav(in_path, x, FS)
+    out_q = str(tmp_path / "q.wav")
+    ok = engine.process_audio(
+        {"input_file": in_path, "output_file": out_q, "lufs": -9.0,
+         "quality": True},
+        status_callback=None, config=FAST_CFG)
+    assert ok
+    y, fs = wavio.read_wav(out_q)
+    assert float(met.true_peak_db(y)) <= -0.8  # brickwall held (1 dBTP - eps)
