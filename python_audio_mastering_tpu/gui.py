@@ -15,7 +15,6 @@ Built fresh on plain ttk (no ttkthemes dependency); run with
 
 from __future__ import annotations
 
-import os
 import threading
 import tkinter as tk
 from tkinter import filedialog, messagebox, ttk
