@@ -153,9 +153,8 @@ def cmd_album(args):
             # skip unreadable files and master the rest (the `batch` policy)
             print(f"  Skipping {name}: {e}")
     if not loaded:
-        print("No audio files found in the input folder.")
+        print("No readable audio files in the input folder.")
         return 1
-    files = names
     tracks, fs_album = engine.conform_album_tracks(loaded, names, print)
 
     settings = _settings_from_args(args)
@@ -165,18 +164,14 @@ def cmd_album(args):
                                            progress_cb=print,
                                            transfer=args.transfer)
     os.makedirs(args.output_dir, exist_ok=True)
-    out_fs = int(settings.get("output_sample_rate") or fs_album)
-    for name, out, lufs in zip(files, outs, measured):
-        if out_fs != fs_album:
-            from python_audio_mastering_tpu.ops import resample as rs
-
-            out = np.asarray(rs.resample(out, fs_album, out_fs))
+    for name, out, lufs in zip(names, outs, measured):
+        out, out_fs = engine._maybe_resample(out, fs_album, settings, print)
         base, ext = os.path.splitext(name)
         dst = os.path.join(args.output_dir, f"{base}_mastered{ext}")
         wavio.write_audio(dst, out, out_fs)
         extra = f" ({lufs:.2f} LUFS measured)" if np.isfinite(lufs) else ""
         print(f"  {dst}{extra}")
-    print(f"Album processing complete! {len(files)} files mastered.")
+    print(f"Album processing complete! {len(names)} files mastered.")
     return 0
 
 

@@ -209,11 +209,9 @@ def conform_album_tracks(loaded, names=None, progress_cb=None):
             audio = np.asarray(rs.resample(audio, fs, fs_album))
         if audio.shape[1] < channels:
             cb(f"Upmixing {name} {audio.shape[1]} -> {channels} channels")
-            audio = np.broadcast_to(
-                audio[:, :1], (audio.shape[0], channels)).copy() \
-                if audio.shape[1] == 1 else np.concatenate(
-                    [audio] + [audio[:, -1:]] * (channels - audio.shape[1]),
-                    axis=1)
+            audio = np.concatenate(
+                [audio] + [audio[:, -1:]] * (channels - audio.shape[1]),
+                axis=1)
         tracks.append(audio)
     return tracks, fs_album
 
@@ -263,9 +261,8 @@ def process_album_from_uris(uris: list, settings: dict,
 
     out_keys = []
     for uri, out in zip(uris, outs):
-        _, _, key = store_mod.parse_uri(uri)
         out_arr, fs_out = _maybe_resample(out, fs_album, settings, cb)
-        output_key = f"processed/mastered_{os.path.basename(key)}"
+        output_key = store_mod.output_key_for(uri)
         cb(f"Exporting and uploading processed audio to {output_key}...")
         buf = io.BytesIO()
         wavio.write_wav(buf, out_arr, fs_out)

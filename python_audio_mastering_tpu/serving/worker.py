@@ -19,8 +19,8 @@ bounded retries are safe: ``max_retries`` re-runs before flagging failure.
 
 from __future__ import annotations
 
+import os
 import traceback
-from os.path import join as _os_path_join
 
 from python_audio_mastering_tpu import engine
 from python_audio_mastering_tpu.serving.http import App, text_response
@@ -69,8 +69,8 @@ def run_job(payload: dict, store: BlobStore, max_retries: int = 1,
         import tempfile
 
         job_id = hashlib.sha1("\n".join(uris).encode()).hexdigest()[:16]
-        ckpt_dir = _os_path_join(tempfile.gettempdir(),
-                                 "pam_album_ckpt", job_id)
+        ckpt_dir = os.path.join(tempfile.gettempdir(),
+                                "pam_album_ckpt", job_id)
     for attempt in range(max_retries + 1):
         try:
             if uris:
@@ -113,9 +113,9 @@ def make_worker_app(store: BlobStore, max_retries: int = 1, config=None) -> App:
             payload = decode_envelope(req.get_json())
         except (ValueError, KeyError, TypeError):
             return text_response("Bad Request: invalid Pub/Sub message format", 400)
-        gcs_uri = payload.get("gcs_uri") or payload.get("gcs_uris")
+        target = payload.get("gcs_uri") or payload.get("gcs_uris")
         settings = payload.get("settings")
-        if not gcs_uri or not settings:
+        if not target or not settings:
             return text_response("Bad Request: missing GCS URI or settings", 400)
         try:
             run_job(payload, store, max_retries=max_retries, config=config)
