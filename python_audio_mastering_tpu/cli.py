@@ -44,6 +44,8 @@ def _add_settings_args(p):
     p.add_argument("--quality", action="store_true",
                    help="lookahead true-peak brickwall limiter instead of "
                         "the reference soft knee")
+    p.add_argument("--dither", action="store_true",
+                   help="TPDF dither at the 16-bit export quantization")
 
 
 def _settings_from_args(args) -> dict:
@@ -60,6 +62,8 @@ def _settings_from_args(args) -> dict:
             s[k] = v
     if getattr(args, "output_rate", None):
         s["output_sample_rate"] = args.output_rate
+    if getattr(args, "dither", False):
+        s["dither"] = True
     return s
 
 
@@ -168,7 +172,8 @@ def cmd_album(args):
         out, out_fs = engine._maybe_resample(out, fs_album, settings, print)
         base, ext = os.path.splitext(name)
         dst = os.path.join(args.output_dir, f"{base}_mastered{ext}")
-        wavio.write_audio(dst, out, out_fs)
+        wavio.write_audio(dst, out, out_fs,
+                          dither=bool(settings.get("dither")))
         extra = f" ({lufs:.2f} LUFS measured)" if np.isfinite(lufs) else ""
         print(f"  {dst}{extra}")
     print(f"Album processing complete! {len(names)} files mastered.")

@@ -106,7 +106,8 @@ def process_audio(settings: dict, status_callback=None,
         out = _run_chain(audio, fs, settings, progress_cb=cb, config=config)
         out, fs = _maybe_resample(out, fs, settings, cb)
         cb("Exporting...")
-        wavio.write_audio(out_path, out, fs)
+        wavio.write_audio(out_path, out, fs,
+                          dither=bool(settings.get("dither")))
         cb(f"Processing complete! Saved to {out_path}")
         return True
     except Exception as e:  # noqa: BLE001 — engine boundary (engine:110-113)
@@ -171,7 +172,7 @@ def process_audio_from_uri(uri: str, settings: dict,
     output_key = f"processed/mastered_{os.path.basename(key)}"
     print(f"Exporting and uploading processed audio to {output_key}...")
     buf = io.BytesIO()
-    wavio.write_wav(buf, out, fs)
+    wavio.write_wav(buf, out, fs, dither=bool(settings.get("dither")))
     store.upload(output_key, buf.getvalue(), content_type="audio/wav")
     store.upload(f"{output_key}.complete", b"")
     print(f"Completion flag created at {output_key}.complete")
@@ -265,7 +266,8 @@ def process_album_from_uris(uris: list, settings: dict,
         output_key = store_mod.output_key_for(uri)
         cb(f"Exporting and uploading processed audio to {output_key}...")
         buf = io.BytesIO()
-        wavio.write_wav(buf, out_arr, fs_out)
+        wavio.write_wav(buf, out_arr, fs_out,
+                        dither=bool(settings.get("dither")))
         store.upload(output_key, buf.getvalue(), content_type="audio/wav")
         store.upload(f"{output_key}.complete", b"")
         out_keys.append(output_key)

@@ -38,12 +38,32 @@ def pcm_to_float(data: np.ndarray, sample_width: int) -> np.ndarray:
     return data.astype(np.float32) / float(2 ** (8 * sample_width - 1))
 
 
-def float_to_pcm(data: np.ndarray, sample_width: int) -> np.ndarray:
+def float_to_pcm(data: np.ndarray, sample_width: int,
+                 dither: bool = False, dither_seed: int | None = None
+                 ) -> np.ndarray:
     """float [-1, 1] → integer PCM with clipping (engine:123-126 semantics,
-    but honouring ``sample_width`` instead of hardcoding int16)."""
+    but honouring ``sample_width`` instead of hardcoding int16).
+
+    ``dither=True`` adds 1-LSB-peak TPDF dither before quantization (the
+    standard mastering practice for ≤16-bit export that the reference
+    skips): quantization error decorrelates from the signal — low-level
+    material keeps its detail under a flat ~-93 dBFS noise floor instead
+    of harmonic truncation distortion.  ``dither_seed`` makes the noise
+    reproducible (tests)."""
     scale = float(2 ** (8 * sample_width - 1))
-    clipped = np.clip(np.asarray(data), -1.0, 1.0)
-    ints = (clipped * scale).astype(np.int64)
+    x = np.asarray(data, dtype=np.float64)
+    if dither:
+        rng = np.random.default_rng(dither_seed)
+        # TPDF = sum of two uniform ±0.5 LSB sources, in float domain
+        lsb = 1.0 / scale
+        x = x + (rng.random(x.shape) + rng.random(x.shape) - 1.0) * lsb
+    clipped = np.clip(x, -1.0, 1.0)
+    if dither:
+        # dither pairs with ROUNDING; the undithered path keeps the
+        # reference's truncation semantics byte-for-byte
+        ints = np.round(clipped * scale).astype(np.int64)
+    else:
+        ints = (clipped * scale).astype(np.int64)
     ints = np.clip(ints, -int(scale), int(scale) - 1)
     dtype = {1: np.int8, 2: np.int16, 3: np.int32, 4: np.int32}[sample_width]
     return ints.astype(dtype)
@@ -118,8 +138,12 @@ def read_wav(path_or_bytes):
     return x[:n].reshape(-1, ch), rate
 
 
-def write_wav(path_or_file, audio, sample_rate, sample_width=2, float_format=False):
-    """Write ``(N, C)`` (or ``(N,)``) float audio as WAV."""
+def write_wav(path_or_file, audio, sample_rate, sample_width=2,
+              float_format=False, dither=False, dither_seed=None):
+    """Write ``(N, C)`` (or ``(N,)``) float audio as WAV.
+
+    ``dither=True`` applies TPDF dither at the PCM quantization (see
+    :func:`float_to_pcm`); ignored for ``float_format``."""
     audio = np.asarray(audio, dtype=np.float32)
     if audio.ndim == 1:
         audio = audio[:, None]
@@ -131,7 +155,8 @@ def write_wav(path_or_file, audio, sample_rate, sample_width=2, float_format=Fal
         payload = inter.astype("<f4").tobytes()
     else:
         tag, bits = WAVE_FORMAT_PCM, 8 * sample_width
-        ints = float_to_pcm(inter, sample_width)
+        ints = float_to_pcm(inter, sample_width, dither=dither,
+                            dither_seed=dither_seed)
         if sample_width == 3:
             payload = _pack_pcm24(ints)
         elif sample_width == 1:
@@ -184,16 +209,17 @@ def read_audio(path):
     return read_wav(out)
 
 
-def write_audio(path, audio, sample_rate, sample_width=2, float_format=False):
+def write_audio(path, audio, sample_rate, sample_width=2, float_format=False,
+                dither=False):
     """Encode to ``path`` by extension; WAV natively, else via ffmpeg.
 
-    ``sample_width``/``float_format`` apply to WAV outputs (non-WAV
-    containers encode from a float32 intermediate and use the codec's own
-    sample format)."""
+    ``sample_width``/``float_format``/``dither`` apply to WAV outputs
+    (non-WAV containers encode from a float32 intermediate and use the
+    codec's own sample format)."""
     ext = os.path.splitext(str(path))[1].lower()
     if ext in _WAV_EXTS or ext == "":
         write_wav(path, audio, sample_rate, sample_width=sample_width,
-                  float_format=float_format)
+                  float_format=float_format, dither=dither)
         return
     ff = _ffmpeg()
     if not ff:

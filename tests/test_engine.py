@@ -160,3 +160,23 @@ def test_quality_settings_key(tmp_path):
     assert ok
     y, fs = wavio.read_wav(out_q)
     assert float(met.true_peak_db(y)) <= -0.8  # brickwall held (1 dBTP - eps)
+
+
+def test_dither_settings_key(tmp_path):
+    """`dither: true` applies TPDF dither at the 16-bit export; the
+    default export keeps the reference's truncation bytes."""
+    in_path = str(tmp_path / "in.wav")
+    _write_input(in_path, seconds=0.5)
+    out_d = str(tmp_path / "d.wav")
+    out_p = str(tmp_path / "p.wav")
+    for out, s in ((out_d, {"dither": True}), (out_p, {})):
+        ok = engine.process_audio(
+            {"input_file": in_path, "output_file": out, "lufs": -20.0, **s},
+            status_callback=None, config=FAST_CFG)
+        assert ok
+    yd, _ = wavio.read_wav(out_d)
+    yp, _ = wavio.read_wav(out_p)
+    assert yd.shape == yp.shape
+    assert not np.array_equal(yd, yp)  # dither changed the quantization
+    # and only at the ~1-LSB level
+    assert np.abs(yd - yp).max() <= 3.0 / 32768.0

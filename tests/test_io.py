@@ -60,3 +60,30 @@ def test_mono_write_read(tmp_path):
     y, fs = wavio.read_wav(p)
     assert y.shape == (1000, 1)
     assert fs == 22050
+
+
+def test_tpdf_dither_preserves_sub_lsb_content():
+    """TPDF dither at the 16-bit boundary: a half-LSB sine vanishes under
+    the reference's plain truncation but survives (decorrelated, audible
+    as signal under a flat noise floor) when dithered."""
+    fs = 44100
+    t = np.arange(fs) / fs
+    lsb = 1.0 / 32768.0
+    sine = (0.5 * lsb) * np.sin(2 * np.pi * 997.0 * t)
+
+    trunc = wavio.float_to_pcm(sine, 2)
+    assert np.all(trunc == 0)  # truncation destroys it entirely
+
+    dithered = wavio.float_to_pcm(sine, 2, dither=True, dither_seed=7)
+    assert np.any(dithered != 0)
+    # the sine is recoverable: correlation against the carrier is far above
+    # what chance alone gives (noise-only correlation ~ N(0, 1/sqrt(n)))
+    carrier = np.sin(2 * np.pi * 997.0 * t)
+    corr = float(np.dot(dithered.astype(np.float64), carrier))
+    noise_scale = np.std(dithered.astype(np.float64)) * np.sqrt((carrier**2).sum())
+    assert corr > 4 * noise_scale
+
+    # undithered path is untouched (reference truncation semantics)
+    x = np.random.default_rng(0).standard_normal(1000) * 0.5
+    np.testing.assert_array_equal(wavio.float_to_pcm(x, 2),
+                                  wavio.float_to_pcm(x, 2, dither=False))
