@@ -130,8 +130,6 @@ def cmd_album(args):
     file-by-file per the reference GUI contract."""
     import os
 
-    import numpy as np
-
     from python_audio_mastering_tpu import engine
     from python_audio_mastering_tpu.config import MasteringParams
     from python_audio_mastering_tpu.io import wavio
@@ -164,17 +162,22 @@ def cmd_album(args):
     settings = _settings_from_args(args)
     params = MasteringParams.from_settings(settings)
     cfg = _config_from_args(args, fs_album)
-    outs, measured = master_album_streamed(tracks, params, cfg,
-                                           progress_cb=print,
-                                           transfer=args.transfer)
+    outs, measured, meters = master_album_streamed(
+        tracks, params, cfg, progress_cb=print, transfer=args.transfer,
+        return_meters=True)
     os.makedirs(args.output_dir, exist_ok=True)
-    for name, out, lufs in zip(names, outs, measured):
+    for name, out, lufs, m in zip(names, outs, measured, meters):
         out, out_fs = engine._maybe_resample(out, fs_album, settings, print)
         base, ext = os.path.splitext(name)
         dst = os.path.join(args.output_dir, f"{base}_mastered{ext}")
         wavio.write_audio(dst, out, out_fs,
                           dither=bool(settings.get("dither")))
-        extra = f" ({lufs:.2f} LUFS measured)" if np.isfinite(lufs) else ""
+        s = engine.meters_summary(m)
+        stats = " · ".join(
+            f"{v} {u}" for v, u in
+            ((s["integrated_lufs"], "LUFS"), (s["lra_lu"], "LU LRA"),
+             (s["true_peak_dbtp"], "dBTP")) if v is not None)
+        extra = f" ({stats})" if stats else ""
         print(f"  {dst}{extra}")
     print(f"Album processing complete! {len(names)} files mastered.")
     return 0

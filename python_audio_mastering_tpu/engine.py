@@ -38,9 +38,9 @@ from python_audio_mastering_tpu.parallel.streaming import master_streamed
 from python_audio_mastering_tpu.serving import store as store_mod
 
 __all__ = ["EQ_PRESETS", "default_config", "process_audio",
-           "batch_process_audio", "process_audio_from_gcs",
-           "process_audio_from_uri", "process_album_from_uris",
-           "AUDIO_EXTENSIONS"]
+           "batch_process_audio", "automaster_audio",
+           "process_audio_from_gcs", "process_audio_from_uri",
+           "process_album_from_uris", "meters_summary", "AUDIO_EXTENSIONS"]
 
 AUDIO_EXTENSIONS = (".wav", ".mp3", ".flac", ".aiff")  # mastering_gui.py:137
 
@@ -65,15 +65,44 @@ def _config_for(settings: dict, sample_rate: int,
 
 
 def _run_chain(audio: np.ndarray, sample_rate: int, settings: dict,
-               progress_cb=None, config: ChainConfig | None = None):
+               progress_cb=None, config: ChainConfig | None = None,
+               return_meters: bool = False, transfer: str = "float32"):
     params = MasteringParams.from_settings(settings)
     cfg = _config_for(settings, sample_rate, config)
-    out, measured, gain_db = master_streamed(audio, params, cfg,
-                                             progress_cb=progress_cb)
+    res = master_streamed(audio, params, cfg, progress_cb=progress_cb,
+                          return_meters=return_meters, transfer=transfer)
+    out, measured, gain_db = res[:3]
     if params.lufs_enabled and progress_cb:
         progress_cb(f"Current loudness: {measured:.2f} LUFS. "
                     f"Applying {gain_db:.2f} dB gain...")
+    if return_meters:
+        return out, res[3]
     return out
+
+
+def meters_summary(meters: dict | None) -> dict | None:
+    """JSON-safe scalar summary of a meter dict (series → their maxima;
+    NaN → null) — the sidecar/API payload shape."""
+    if meters is None:
+        return None
+
+    def _f(v):
+        v = None if v is None else float(v)
+        return None if v is None or v != v else round(v, 2)
+
+    def _mx(series):
+        if series is None or len(series) == 0:
+            return None
+        arr = np.asarray(series, dtype=np.float64)
+        return None if np.all(np.isnan(arr)) else round(float(np.nanmax(arr)), 2)
+
+    return {
+        "integrated_lufs": _f(meters.get("integrated_lufs")),
+        "lra_lu": _f(meters.get("lra_lu")),
+        "true_peak_dbtp": _f(meters.get("true_peak_dbtp")),
+        "max_momentary_lufs": _mx(meters.get("momentary_lufs")),
+        "max_short_term_lufs": _mx(meters.get("short_term_lufs")),
+    }
 
 
 def _maybe_resample(out: np.ndarray, fs: int, settings: dict, cb):
@@ -116,6 +145,59 @@ def process_audio(settings: dict, status_callback=None,
         return False
 
 
+def automaster_audio(settings: dict, status_callback=None,
+                     config: ChainConfig | None = None, steps: int = 40):
+    """Desktop automaster engine (GUI tab / `cli automaster` backend):
+    fit the chain's slider subspace to a reference track's spectral
+    profile + loudness by gradient descent (models.automaster), then
+    master ``input_file`` with the fitted settings.
+
+    Same contract shape as :func:`process_audio` (progress via
+    ``status_callback``, final message contains "complete"/"ERROR"),
+    plus the fitted settings dict is returned (None on failure) so the
+    GUI can reflect the solved slider positions live.
+    """
+    cb = status_callback or (lambda msg: None)
+    try:
+        in_path = settings.get("input_file")
+        ref_path = settings.get("reference_file")
+        out_path = settings.get("output_file")
+        if not in_path or not ref_path or not out_path:
+            cb("ERROR: input_file, reference_file and output_file "
+               "must be set.")
+            return None
+        cb(f"Loading {os.path.basename(in_path)}...")
+        audio, fs = wavio.read_audio(in_path)
+        cb(f"Analyzing reference {os.path.basename(ref_path)}...")
+        ref, ref_fs = wavio.read_audio(ref_path)
+
+        from python_audio_mastering_tpu.models import automaster
+
+        cfg = _config_for(settings, fs, config)
+        target_lufs = settings.get("lufs", -14.0)
+        model = automaster.AutoMasterModel(
+            config=cfg,
+            target_lufs=-14.0 if target_lufs is None else float(target_lufs))
+        target = automaster.spectral_profile(ref, ref_fs)
+        params, losses = automaster.fit(
+            model, np.asarray(audio, np.float32), target, steps=steps,
+            callback=lambda i, l: cb(f"Fitting {i + 1}/{steps}: "
+                                     f"loss {l:.5f}"))
+        fitted = params.to_settings()
+        cb("Mastering with fitted settings...")
+        out, _, _ = master_streamed(np.asarray(audio, np.float32), params,
+                                    cfg, progress_cb=cb)
+        out, fs_out = _maybe_resample(out, fs, settings, cb)
+        wavio.write_audio(out_path, out, fs_out,
+                          dither=bool(settings.get("dither")))
+        cb(f"Processing complete! Saved to {out_path}")
+        return fitted
+    except Exception as e:  # noqa: BLE001 — engine boundary (engine:110-113)
+        traceback.print_exc()
+        cb(f"ERROR: {e}")
+        return None
+
+
 def batch_process_audio(settings: dict, input_folder: str, output_folder: str,
                         status_callback=None,
                         config: ChainConfig | None = None) -> int:
@@ -147,15 +229,31 @@ def batch_process_audio(settings: dict, input_folder: str, output_folder: str,
     return done
 
 
+def _upload_meters(store, output_key: str, meters: dict | None):
+    """Sidecar telemetry blob: ``{output}.meters.json`` with the scalar
+    R128 summary — /status surfaces it next to the download URL (the
+    reference logs one LUFS line and discards it, engine:221)."""
+    summary = meters_summary(meters)
+    if summary is None:
+        return
+    import json
+
+    store.upload(f"{output_key}.meters.json",
+                 json.dumps(summary).encode("utf-8"),
+                 content_type="application/json")
+
+
 def process_audio_from_uri(uri: str, settings: dict,
                            store: store_mod.BlobStore | None = None,
                            config: ChainConfig | None = None,
-                           progress_cb=None) -> str:
+                           progress_cb=None, transfer: str = "float32",
+                           emit_meters: bool = True) -> str:
     """Cloud worker engine: any ``scheme://bucket/key`` URI.
 
     Returns the output key.  Raises on failure (the worker layer owns the
     job-state policy — unlike the reference, failures are not silently
-    swallowed, worker/main.py:46-50).
+    swallowed, worker/main.py:46-50).  ``emit_meters`` uploads an R128
+    summary sidecar (``{output}.meters.json``) alongside the audio.
     """
     scheme, bucket, key = store_mod.parse_uri(uri)
     store = store or store_mod.get_store(f"{scheme}://{bucket}")
@@ -165,15 +263,18 @@ def process_audio_from_uri(uri: str, settings: dict,
     # (worker/audio_mastering_engine.py:43); WAV decodes natively
     audio, fs = wavio.decode_audio_bytes(blob, name_hint=key)
     print("Processing audio in chunks...")
-    out = _run_chain(audio, fs, settings,
+    res = _run_chain(audio, fs, settings,
                      progress_cb=progress_cb or (lambda m: print(m)),
-                     config=config)
+                     config=config, return_meters=emit_meters,
+                     transfer=transfer)
+    out, meters = res if emit_meters else (res, None)
     out, fs = _maybe_resample(out, fs, settings, print)
     output_key = f"processed/mastered_{os.path.basename(key)}"
     print(f"Exporting and uploading processed audio to {output_key}...")
     buf = io.BytesIO()
     wavio.write_wav(buf, out, fs, dither=bool(settings.get("dither")))
     store.upload(output_key, buf.getvalue(), content_type="audio/wav")
+    _upload_meters(store, output_key, meters)
     store.upload(f"{output_key}.complete", b"")
     print(f"Completion flag created at {output_key}.complete")
     return output_key
@@ -187,17 +288,21 @@ def process_audio_from_gcs(gcs_uri: str, settings: dict, **kwargs) -> str:
 def conform_album_tracks(loaded, names=None, progress_cb=None):
     """Conform decoded tracks into one batchable album.
 
-    ``loaded``: list of ``(audio (N, C), fs)``.  Tracks at a different
-    sample rate than the first are resampled to it (``ops.resample``);
-    mono tracks in a mixed-channel album are upmixed by duplication to the
-    album's max channel count (a ``(N, 1)`` and ``(N, 2)`` track cannot
-    share a padded batch otherwise).  The ONE conforming policy for every
-    album surface — CLI, cloud job — so the paths cannot diverge.
+    ``loaded``: list of ``(audio (N, C), fs)``.  The album conforms to the
+    MAX sample rate present (never downgrades a 48 kHz track because a
+    lower-rate file happened to sort first); tracks at other rates are
+    upsampled to it (``ops.resample``) — a lossless direction.  Mono tracks
+    in a mixed-channel album are upmixed by duplication to the album's max
+    channel count (a ``(N, 1)`` and ``(N, 2)`` track cannot share a padded
+    batch otherwise).  The ONE conforming policy for every album surface —
+    CLI, cloud job — so the paths cannot diverge.  An explicit
+    ``settings["output_sample_rate"]`` still converts each mastered output
+    afterwards (engine._maybe_resample).
     Returns ``(tracks, fs_album)``.
     """
     cb = progress_cb or (lambda m: print(m))
     names = names or [f"track {i}" for i in range(len(loaded))]
-    fs_album = loaded[0][1]
+    fs_album = max(fs for _, fs in loaded)
     channels = max(a.shape[1] if a.ndim == 2 else 1 for a, _ in loaded)
     tracks = []
     for (audio, fs), name in zip(loaded, names):
@@ -221,7 +326,9 @@ def process_album_from_uris(uris: list, settings: dict,
                             store: store_mod.BlobStore | None = None,
                             config: ChainConfig | None = None,
                             progress_cb=None, transfer: str = "float32",
-                            checkpoint_dir: str | None = None) -> list:
+                            checkpoint_dir: str | None = None,
+                            checkpoint_every: int = 1,
+                            emit_meters: bool = True) -> list:
     """Cloud album engine (framework extension — the reference fans out one
     Pub/Sub message per file; this masters a whole album as ONE batched,
     chunked device call, ``parallel.batch.master_album_streamed``).
@@ -256,12 +363,16 @@ def process_album_from_uris(uris: list, settings: dict,
     params = MasteringParams.from_settings(settings)
     cfg = _config_for(settings, fs_album, config)
     cb(f"Processing album of {len(tracks)} tracks in chunks...")
-    outs, _ = master_album_streamed(tracks, params, cfg, progress_cb=cb,
-                                    transfer=transfer,
-                                    checkpoint_dir=checkpoint_dir)
+    res = master_album_streamed(tracks, params, cfg, progress_cb=cb,
+                                transfer=transfer,
+                                checkpoint_dir=checkpoint_dir,
+                                checkpoint_every=checkpoint_every,
+                                return_meters=emit_meters)
+    outs = res[0]
+    meters_list = res[2] if emit_meters else [None] * len(outs)
 
     out_keys = []
-    for uri, out in zip(uris, outs):
+    for uri, out, meters in zip(uris, outs, meters_list):
         out_arr, fs_out = _maybe_resample(out, fs_album, settings, cb)
         output_key = store_mod.output_key_for(uri)
         cb(f"Exporting and uploading processed audio to {output_key}...")
@@ -269,6 +380,7 @@ def process_album_from_uris(uris: list, settings: dict,
         wavio.write_wav(buf, out_arr, fs_out,
                         dither=bool(settings.get("dither")))
         store.upload(output_key, buf.getvalue(), content_type="audio/wav")
+        _upload_meters(store, output_key, meters)
         store.upload(f"{output_key}.complete", b"")
         out_keys.append(output_key)
     cb(f"Album complete: {len(out_keys)} files.")

@@ -5,9 +5,11 @@ Feature-parity with the reference GUI (mastering_gui.py): tabbed single-file
 preset dropdown (EQ_PRESETS re-export), a multiband section that shows when
 enabled, threaded processing with a status bar, and completion detection on
 the engine's message strings — plus the things the reference lacks: an
-automaster tab hook and non-string-matched completion (the engine returns
-success explicitly; the status-string contract is still honoured for
-compatibility).
+Automaster tab (pick a reference track → the differentiable chain solves
+the saturation/EQ/width sliders to match it, the solved positions appear
+live, and the track is mastered with them) and non-string-matched
+completion (the engine returns success explicitly; the status-string
+contract is still honoured for compatibility).
 
 Built fresh on plain ttk (no ttkthemes dependency); run with
 ``python -m python_audio_mastering_tpu.gui``.
@@ -70,6 +72,31 @@ class MasteringApp(tk.Tk):
         self.batch_button.grid(row=2, column=0, columnspan=2, sticky="ew",
                                pady=8)
         batch.columnconfigure(1, weight=1)
+
+        # --- automaster tab: fit sliders to a reference track ---
+        auto = ttk.Frame(nb, padding=8)
+        nb.add(auto, text="Automaster")
+        self.auto_input = tk.StringVar()
+        self.auto_reference = tk.StringVar()
+        self.auto_output = tk.StringVar()
+        self._file_row(auto, 0, "Select Input File", self.auto_input,
+                       lambda: self._pick_audio(self.auto_input,
+                                                set_output=self.auto_output))
+        self._file_row(auto, 1, "Select Reference Track", self.auto_reference,
+                       lambda: self._pick_audio(self.auto_reference))
+        self._file_row(auto, 2, "Select Output File", self.auto_output,
+                       lambda: self._pick_save(self.auto_output))
+        self.auto_button = ttk.Button(
+            auto, text="Fit to Reference && Master",
+            command=self.start_automaster)
+        self.auto_button.grid(row=3, column=0, columnspan=2, sticky="ew",
+                              pady=8)
+        ttk.Label(auto, text="Fits saturation/EQ/width to the reference's "
+                             "spectral profile, shows the solved sliders "
+                             "live, then masters with them.",
+                  wraplength=480).grid(row=4, column=0, columnspan=2,
+                                       sticky="w")
+        auto.columnconfigure(1, weight=1)
 
         # --- presets ---
         pf = ttk.LabelFrame(self, text="Presets", padding=8)
@@ -147,6 +174,24 @@ class MasteringApp(tk.Tk):
         if path:
             self.output_file.set(path)
 
+    def _pick_audio(self, var, set_output=None):
+        path = filedialog.askopenfilename(
+            filetypes=[("Audio Files", "*.wav *.mp3 *.flac *.aiff")])
+        if path:
+            var.set(path)
+            if set_output is not None and not set_output.get():
+                from python_audio_mastering_tpu.gui_logic import \
+                    default_output_path
+
+                set_output.set(default_output_path(path))
+
+    def _pick_save(self, var):
+        path = filedialog.asksaveasfilename(
+            defaultextension=".wav",
+            filetypes=[("WAV file", "*.wav"), ("MP3 file", "*.mp3")])
+        if path:
+            var.set(path)
+
     def _pick_dir(self, var):
         path = filedialog.askdirectory()
         if path:
@@ -174,6 +219,9 @@ class MasteringApp(tk.Tk):
                                    text="Processing..." if busy
                                    else "Process Single File")
         self.batch_button.config(state=state)
+        self.auto_button.config(state=state,
+                                text="Fitting..." if busy
+                                else "Fit to Reference && Master")
 
     def start_single(self):
         self._sync_logic()
@@ -199,6 +247,30 @@ class MasteringApp(tk.Tk):
                          args=(settings, self.input_folder.get(),
                                self.output_folder.get(), self.update_status),
                          daemon=True).start()
+
+    def start_automaster(self):
+        self._sync_logic()
+        settings, err = self.logic.start_automaster_job(
+            self.auto_input.get(), self.auto_reference.get(),
+            self.auto_output.get())
+        if err:
+            messagebox.showerror("Error", err)
+            return
+        self._set_busy(True)
+        threading.Thread(target=self._run_automaster, args=(settings,),
+                         daemon=True).start()
+
+    def _run_automaster(self, settings):
+        fitted = engine.automaster_audio(settings, self.update_status)
+        if fitted:
+            # marshal the solved slider positions onto the Tk main loop
+            self.after(0, self._apply_fitted, fitted)
+
+    def _apply_fitted(self, fitted: dict):
+        applied = self.logic.apply_fitted_settings(fitted)
+        for k, v in applied.items():
+            self.vars[k].set(v)
+        self.preset_var.set("None")
 
     def update_status(self, message: str):
         # Called from the worker thread; marshal onto the Tk main loop.

@@ -19,8 +19,8 @@ import os
 
 from python_audio_mastering_tpu.models.presets import EQ_PRESETS
 
-__all__ = ["GuiState", "SLIDERS", "MB_SLIDERS", "classify_status",
-           "default_output_path", "EQ_PRESETS"]
+__all__ = ["GuiState", "SLIDERS", "MB_SLIDERS", "AUTOMASTER_KEYS",
+           "classify_status", "default_output_path", "EQ_PRESETS"]
 
 # (attr, label, lo, hi, default) — ranges per mastering_gui.py:95-112
 SLIDERS = [
@@ -42,6 +42,11 @@ MB_SLIDERS = [
 ]
 
 _PRESET_EQ_KEYS = ("bass_boost", "mid_cut", "presence_boost", "treble_boost")
+
+# The slider subspace the automaster fit solves for
+# (models.automaster._LATENT_SPEC ∩ the GUI sliders).
+AUTOMASTER_KEYS = ("saturation", "bass_boost", "mid_cut", "presence_boost",
+                   "treble_boost", "width")
 
 
 def classify_status(message: str) -> str:
@@ -126,6 +131,36 @@ class GuiState:
             return None, "Please select both an input and an output folder."
         self.busy = True
         return self.get_current_settings(), None
+
+    def start_automaster_job(self, input_file: str, reference_file: str,
+                             output_file: str):
+        """Validate + assemble an automaster job (input + reference →
+        fitted sliders → output).  Returns (settings, error)."""
+        if self.busy:
+            return None, "A job is already running."
+        if not input_file or not reference_file or not output_file:
+            return None, ("Please select an input file, a reference track "
+                          "and an output file.")
+        settings = self.get_current_settings()
+        settings["input_file"] = input_file
+        settings["reference_file"] = reference_file
+        settings["output_file"] = output_file
+        self.busy = True
+        return settings, None
+
+    def apply_fitted_settings(self, fitted: dict) -> dict:
+        """Reflect an automaster fit into the slider state: each fitted
+        value in the automaster subspace is clamped to its slider range
+        (the GUI contract — e.g. the fit's mid_cut can go to −6 dB but the
+        reference slider floor is 0, mastering_gui.py:99).  Returns the
+        {key: applied_value} subset for the widgets to display."""
+        applied = {}
+        for k in AUTOMASTER_KEYS:
+            if k in fitted:
+                self.set_value(k, float(fitted[k]))
+                applied[k] = self.values[k]
+        self.preset = "None"
+        return applied
 
     def on_status(self, message: str) -> str:
         """Apply a status message: clears the busy gate on terminal

@@ -95,6 +95,12 @@ def probe(buf: bytes):
                            ctypes.byref(frames), ctypes.byref(bits))
     if rc != 0:
         raise ValueError(f"native WAV probe failed (rc={rc})")
+    # untrusted-input sanity (mirrors wavio.read_wav's checks): the C++
+    # parser clamps sizes and rejects ch==0, the wrapper rejects the rest
+    if rate.value <= 0:
+        raise ValueError(f"invalid sample rate {rate.value}")
+    if ch.value > 1024:
+        raise ValueError(f"implausible channel count {ch.value}")
     return ch.value, rate.value, frames.value, bits.value
 
 

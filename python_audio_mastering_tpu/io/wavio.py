@@ -96,8 +96,11 @@ def read_wav(path_or_bytes):
     else:
         buf = path_or_bytes.read()
 
-    if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+    if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE file")
+    # This is the untrusted-input boundary (workers decode arbitrary
+    # uploaded bytes): every malformed header must surface as ValueError —
+    # never ZeroDivisionError/struct.error/MemoryError (VERDICT r2 #6).
     pos, end = 12, len(buf)
     fmt = None
     data = None
@@ -105,8 +108,12 @@ def read_wav(path_or_bytes):
         cid, size = buf[pos:pos + 4], struct.unpack("<I", buf[pos + 4:pos + 8])[0]
         body = buf[pos + 8:pos + 8 + size]
         if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("truncated fmt chunk")
             tag, ch, rate, _, _, bits = struct.unpack("<HHIIHH", body[:16])
-            if tag == WAVE_FORMAT_EXTENSIBLE and size >= 40:
+            if tag == WAVE_FORMAT_EXTENSIBLE:
+                if len(body) < 26:
+                    raise ValueError("truncated WAVE_FORMAT_EXTENSIBLE fmt")
                 tag = struct.unpack("<H", body[24:26])[0]
             fmt = (tag, ch, rate, bits)
         elif cid == b"data":
@@ -115,20 +122,35 @@ def read_wav(path_or_bytes):
     if fmt is None or data is None:
         raise ValueError("missing fmt/data chunk")
     tag, ch, rate, bits = fmt
+    if ch == 0:
+        raise ValueError("fmt chunk declares zero channels")
+    if ch > 1024:
+        raise ValueError(f"implausible channel count {ch}")
+    if rate <= 0:
+        raise ValueError(f"invalid sample rate {rate}")
+
+    def _frombuf(raw, dtype, width):
+        usable = (len(raw) // width) * width  # tolerate truncated bodies
+        return np.frombuffer(raw[:usable], dtype=dtype)
 
     if tag == WAVE_FORMAT_IEEE_FLOAT:
-        dt = np.float32 if bits == 32 else np.float64
-        x = np.frombuffer(data, dtype="<" + np.dtype(dt).char).astype(np.float32)
+        if bits == 32:
+            x = _frombuf(data, "<f4", 4).astype(np.float32)
+        elif bits == 64:
+            x = _frombuf(data, "<f8", 8).astype(np.float32)
+        else:
+            raise ValueError(f"unsupported IEEE-float bit depth {bits}")
     elif tag == WAVE_FORMAT_PCM:
         if bits == 8:
             x = (np.frombuffer(data, dtype=np.uint8).astype(np.int16) - 128)
             x = pcm_to_float(x, 1)
         elif bits == 16:
-            x = pcm_to_float(np.frombuffer(data, dtype="<i2"), 2)
+            x = pcm_to_float(_frombuf(data, "<i2", 2), 2)
         elif bits == 24:
-            x = pcm_to_float(_unpack_pcm24(data), 3)
+            usable = (len(data) // 3) * 3
+            x = pcm_to_float(_unpack_pcm24(data[:usable]), 3)
         elif bits == 32:
-            x = pcm_to_float(np.frombuffer(data, dtype="<i4"), 4)
+            x = pcm_to_float(_frombuf(data, "<i4", 4), 4)
         else:
             raise ValueError(f"unsupported PCM bit depth {bits}")
     else:

@@ -111,7 +111,7 @@ def _compiled_album(config: ChainConfig):
         soft_limiter, soft_limiter_legacy)
 
     fx = jax.jit(functools.partial(_fx_chunk_batched, config=config),
-                 static_argnames=("first",))
+                 static_argnames=("first", "need_cells"))
     cell_len = int(round(0.1 * config.sample_rate))
 
     def track_gain(cells, n_valid, target):
@@ -151,7 +151,24 @@ def _compiled_album(config: ChainConfig):
             out = strm.requantize_pcm16(out)
         return out, ns
 
-    return fx, gains_fn, finalize, finalize_la
+    @functools.partial(jax.jit, static_argnames=("last",))
+    def tp_batched(tail, chunk, start, lengths_dev, last=False):
+        """Per-track streaming true peak over one finalized batched chunk.
+
+        Samples at positions ≥ each track's real length are masked to zero
+        first: the padded region carries LUFS-amplified ring-out that is
+        not part of that track's returned audio (same rule as the sharded
+        meter path and streaming's last-chunk trim)."""
+        pos = start + jnp.arange(chunk.shape[1])
+        chunk = jnp.where(pos[None, :, None] < lengths_dev[:, None, None],
+                          chunk, jnp.zeros((), chunk.dtype))
+
+        def one(t, c):
+            return strm._tp_chunk(t, c, config, last=last)
+
+        return jax.vmap(one)(tail, chunk)
+
+    return fx, gains_fn, finalize, finalize_la, tp_batched
 
 
 def master_album_streamed(tracks: Sequence[np.ndarray], params,
@@ -159,7 +176,9 @@ def master_album_streamed(tracks: Sequence[np.ndarray], params,
                           chunk_seconds: float = 30.0, progress_cb=None,
                           transfer: str = "float32",
                           timings: dict | None = None,
-                          checkpoint_dir: str | None = None):
+                          checkpoint_dir: str | None = None,
+                          checkpoint_every: int = 1,
+                          return_meters: bool = False):
     """Album mastering, batched over tracks AND chunked over time.
 
     The production path for long albums: device memory is bounded by
@@ -178,7 +197,14 @@ def master_album_streamed(tracks: Sequence[np.ndarray], params,
     checkpoints (same format/machinery as ``streaming.master_streamed``);
     an interrupted album job resumes from the last completed chunk instead
     of restarting — note each checkpoint reads the batched chunk back to
-    the host, which costs real wall time on link-bound deployments.
+    the host, which costs real wall time on link-bound deployments;
+    ``checkpoint_every=N`` bounds that cost to one readback burst per N
+    chunks (the pending chunks are flushed together, preserving the
+    contiguous-prefix resume format).  ``return_meters``: also return a
+    per-track list of R128 meter dicts (momentary/short-term series, LRA,
+    true peak, integrated) — built from the already-accumulated 100 ms
+    cells plus one batched true-peak pass over the finalized chunks, no
+    extra pass over the audio.
     """
     import dataclasses as _dc
     import time as _time
@@ -212,7 +238,7 @@ def master_album_streamed(tracks: Sequence[np.ndarray], params,
     num_chunks = max(1, -(-n // chunk_frames))
     dtype = config.jnp_dtype()
 
-    fx, gains_fn, finalize, finalize_la = _compiled_album(config)
+    fx, gains_fn, finalize, finalize_la, tp_batched = _compiled_album(config)
 
     state = strm.StreamState()  # replaced by per-track states after chunk 0
     processed = []
@@ -275,25 +301,64 @@ def master_album_streamed(tracks: Sequence[np.ndarray], params,
             progress_cb(f"Resuming from checkpoint: {i0}/{num_chunks} "
                         "chunks already processed.")
 
-    next_dev = chunk_at(i0) if i0 < num_chunks else None
-    for i in range(i0, num_chunks):
-        cur = next_dev
-        if i + 1 < num_chunks:
-            next_dev = chunk_at(i + 1)
-        y, state, cells = fx(cur, stacked, state, first=(i == 0))
-        processed.append(y)
-        cells_list.append(cells)
-        if checkpoint_dir:
-            strm._save_checkpoint(checkpoint_dir, i, y, state, cells)
-        if progress_cb:
-            progress_cb(f"Processed chunk {i + 1}/{num_chunks} "
-                        f"({batch.shape[0]} tracks)...")
+    need_cells = stacked.lufs_enabled or return_meters
+    checkpoint_every = max(1, int(checkpoint_every))
+    # Checkpoint saves run on ONE ordered background thread: the device
+    # readback (np.asarray inside _save_checkpoint) happens off the
+    # dispatch loop's critical path, so compute keeps running while the
+    # (link-expensive on tunneled deployments) readback drains.  A single
+    # FIFO worker preserves the contiguous-prefix resume invariant: chunk
+    # i's file can only exist if 0..i-1 were written first.
+    ckpt_pool = None
+    ckpt_futures = []
+    if checkpoint_dir:
+        from concurrent.futures import ThreadPoolExecutor
 
-    all_cells = jnp.concatenate(cells_list, axis=1)  # (T, cells, C)
+        ckpt_pool = ThreadPoolExecutor(max_workers=1,
+                                       thread_name_prefix="pam-ckpt")
+    next_dev = chunk_at(i0) if i0 < num_chunks else None
+    seg_ys, seg_cells = [], []
+    try:
+        for i in range(i0, num_chunks):
+            cur = next_dev
+            if i + 1 < num_chunks:
+                next_dev = chunk_at(i + 1)
+            y, state, cells = fx(cur, stacked, state, first=(i == 0),
+                                 need_cells=need_cells)
+            processed.append(y)
+            cells_list.append(cells)
+            if checkpoint_dir:
+                # one segment file per checkpoint_every chunks (keyed by
+                # its last chunk index; resume replays whole segments)
+                seg_ys.append(y)
+                seg_cells.append(cells)
+                if len(seg_ys) >= checkpoint_every or i == num_chunks - 1:
+                    ckpt_futures.append(ckpt_pool.submit(
+                        strm._save_checkpoint, checkpoint_dir, i,
+                        list(seg_ys), state, list(seg_cells)))
+                    seg_ys, seg_cells = [], []
+            if progress_cb:
+                progress_cb(f"Processed chunk {i + 1}/{num_chunks} "
+                            f"({batch.shape[0]} tracks)...")
+        if ckpt_pool is not None:
+            # drain the writer before the finalize phase: every submitted
+            # segment must be durable (and any save error surfaced) before
+            # the caller can treat the run as checkpointed
+            for fut in ckpt_futures:
+                fut.result()
+    finally:
+        if ckpt_pool is not None:
+            # On interrupt too, let already-submitted segment saves finish:
+            # persisting the progress an interrupted job DID make is the
+            # point of checkpointing (and keeps resume deterministic).
+            ckpt_pool.shutdown(wait=True)
+
+    lengths_dev = jnp.asarray(lengths)
+    all_cells = jnp.concatenate(cells_list, axis=1) if need_cells else None
     dev_lengths = jnp.concatenate(
-        [jnp.asarray(lengths),
-         jnp.full((batch.shape[0] - t0,), n, jnp.int64)]) \
-        if batch.shape[0] != t0 else jnp.asarray(lengths)
+        [lengths_dev,
+         jnp.full((batch.shape[0] - t0,), n, lengths_dev.dtype)]) \
+        if batch.shape[0] != t0 else lengths_dev
 
     if stacked.lufs_enabled:
         gains, measured = gains_fn(
@@ -325,6 +390,19 @@ def master_album_streamed(tracks: Sequence[np.ndarray], params,
             finalized.append(o)
     else:
         finalized = [finalize(y, gains, emit_i16=pcm16) for y in processed]
+
+    tp_max = None
+    if return_meters:
+        # per-track streaming true peak over the finalized output, carried
+        # boundary tails, per-track valid-length masking inside tp_batched
+        tp_tail = jnp.zeros((batch.shape[0], 32, batch.shape[2]), dtype)
+        startf = 0
+        for fi, f in enumerate(finalized):
+            tpv, tp_tail = tp_batched(tp_tail, f, jnp.asarray(startf),
+                                      dev_lengths,
+                                      last=(fi == len(finalized) - 1))
+            startf += f.shape[1]
+            tp_max = tpv if tp_max is None else jnp.maximum(tp_max, tpv)
     # Compute-phase barrier before the bulk readback (see h2d barrier note).
     _tiny_readback(finalized[-1])
     if timings is not None:
@@ -346,16 +424,49 @@ def master_album_streamed(tracks: Sequence[np.ndarray], params,
         timings["wire_bytes_out"] = out.nbytes
     if pcm16:
         out = out.astype(np.float32) / strm.PCM16_SCALE
-    return ([out[i, : int(lengths[i])] for i in range(len(tracks))],
-            np.asarray(measured)[: len(tracks)])
+    outs = [out[i, : int(lengths[i])] for i in range(len(tracks))]
+    measured_np = np.asarray(measured)[: len(tracks)]
+    if not return_meters:
+        return outs, measured_np
+
+    from python_audio_mastering_tpu.ops import meters as met
+
+    # Meter series from the already-accumulated cells (scaled by gain² —
+    # metering sits after normalization, before the brickwall, same point
+    # as streaming.master_streamed); batched across tracks, then trimmed
+    # to each track's complete cells.
+    cell_len = int(round(0.1 * config.sample_rate))
+    gains_np = np.asarray(gains)
+    scaled = all_cells * jnp.asarray(gains_np)[:, None, None] ** 2
+    mom_all = np.asarray(jax.vmap(
+        lambda cm: met._sliding_loudness(cm, 4))(scaled))
+    st_all = np.asarray(jax.vmap(
+        lambda cm: met._sliding_loudness(cm, 30))(scaled))
+    tp_np = np.asarray(tp_max)
+    meters = []
+    for i in range(len(tracks)):
+        nv = int(lengths[i]) // cell_len
+        mom = mom_all[i][: max(nv - 3, 0)]
+        st = st_all[i][: max(nv - 29, 0)]
+        gain_db = 20.0 * float(np.log10(max(float(gains_np[i]), 1e-12)))
+        meters.append({
+            "momentary_lufs": mom,
+            "short_term_lufs": st,
+            "lra_lu": float(met.lra_from_shortterm(jnp.asarray(st))),
+            "true_peak_dbtp": float(
+                20.0 * np.log10(max(float(tp_np[i]), 1e-12))),
+            "integrated_lufs": float(measured_np[i]) + gain_db,
+        })
+    return outs, measured_np, meters
 
 
-def _fx_chunk_batched(chunk, params, state, config, first):
+def _fx_chunk_batched(chunk, params, state, config, first, need_cells=True):
     from python_audio_mastering_tpu.parallel import streaming as strm
 
     def one(c, p, s):
         return strm._fx_chunk(c, p, config=config, state=s, first=first,
-                              variant_mb=config.variant)
+                              variant_mb=config.variant,
+                              need_cells=need_cells)
 
     if first:
         # build a fresh empty state per track (pytree of Nones broadcast)

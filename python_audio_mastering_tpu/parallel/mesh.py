@@ -14,7 +14,8 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
-__all__ = ["make_mesh", "tracks_sharding", "replicated_sharding"]
+__all__ = ["make_mesh", "make_mesh_2d", "tracks_sharding",
+           "replicated_sharding"]
 
 
 def make_mesh(axis_name: str = "tracks", devices=None) -> Mesh:

@@ -327,14 +327,22 @@ def _chain_shard(x, params, n_valid, config: ChainConfig, axis: str,
     # interior shards exclude interpolation windows touching their zero
     # padding (the neighbour re-evaluates them with real context); the last
     # shard's trailing zeros ARE the one-shot end padding, so it includes
-    # them (see parallel.streaming._tp_chunk for the single-device analog)
+    # them (see parallel.streaming._tp_chunk for the single-device analog).
+    # Samples at global positions ≥ n_valid are masked to zero first: the
+    # alignment-padding region carries (LUFS-amplified) chain ring-out that
+    # is NOT part of the returned [:n] audio — master_streamed trims its
+    # last chunk before metering for exactly this reason.
     from python_audio_mastering_tpu.ops.meters import true_peak_linear
 
     d = jax.lax.axis_size(axis)
     idx = jax.lax.axis_index(axis)
-    tail = jax.lax.ppermute(x[-32:], axis, [(i, i + 1) for i in range(d - 1)])
+    n_loc = x.shape[0]
+    gpos = idx * n_loc + jnp.arange(n_loc)
+    x_tp = jnp.where(gpos[:, None] < n_valid, x, 0.0)
+    tail = jax.lax.ppermute(x_tp[-32:], axis,
+                            [(i, i + 1) for i in range(d - 1)])
     tail = jnp.where(idx == 0, jnp.zeros_like(tail), tail)
-    ext = jnp.concatenate([tail, x])
+    ext = jnp.concatenate([tail, x_tp])
     tp_interior = true_peak_linear(ext, exclude_pad=(True, True))
     tp_last = true_peak_linear(ext, exclude_pad=(True, False))
     tp = jax.lax.pmax(jnp.where(idx == d - 1, tp_last, tp_interior), axis)
@@ -463,10 +471,11 @@ def master_album_sharded(tracks, params, config: ChainConfig, mesh=None,
         batch = np.concatenate(
             [batch, np.zeros((batch.shape[0], n_pad - n, c), batch.dtype)],
             axis=1)
+    lengths_dev = jnp.asarray(lengths)
     n_valid = jnp.concatenate(
-        [jnp.asarray(lengths),
-         jnp.zeros((batch.shape[0] - t0,), jnp.int64)]) \
-        if batch.shape[0] != t0 else jnp.asarray(lengths)
+        [lengths_dev,
+         jnp.zeros((batch.shape[0] - t0,), lengths_dev.dtype)]) \
+        if batch.shape[0] != t0 else lengths_dev
 
     def block(xb, pb, nv):
         run = functools.partial(_chain_shard, config=config, axis=saxis,

@@ -102,8 +102,13 @@ def requantize_pcm16(y):
 
 
 def _fx_chunk(chunk, params, config: ChainConfig, state: StreamState,
-              first: bool, variant_mb: str):
-    """Effects chain on one chunk with carried state + loudness cells."""
+              first: bool, variant_mb: str, need_cells: bool = True):
+    """Effects chain on one chunk with carried state + loudness cells.
+
+    ``need_cells`` (static): False skips the K-weighting/cell pass entirely
+    (cells/kw_zi return None) — a ``--no-lufs`` job with no meters
+    requested must not pay a full-signal HBM pass per chunk for a
+    measurement nobody consumes."""
     x = chunk
     if jnp.issubdtype(x.dtype, jnp.integer):
         # pcm16 transfer path: dequantize on-device (first op fuses away)
@@ -126,6 +131,8 @@ def _fx_chunk(chunk, params, config: ChainConfig, state: StreamState,
             ballistics=config.comp_ballistics,
             state=None if first else mb_state, return_state=True)
 
+    if not need_cells:
+        return x, StreamState(eq_zi=eq_zi, mb=mb_state, kw_zi=None), None
     # loudness cells of the *processed* chunk (pre-gain, pre-limiter)
     meter_sig = x.mean(axis=1, keepdims=True) \
         if (config.measure_downmix == "reference_mono_mean" and x.ndim == 2) else x
@@ -195,11 +202,19 @@ def _ckpt_path(checkpoint_dir, i):
 
 
 def _save_checkpoint(checkpoint_dir, i, y, state, cells):
-    """Durable per-chunk progress: atomic write of audio + carried state."""
+    """Durable chunk-granular progress: atomic write of audio + state.
+
+    ``y``/``cells`` may be single chunk arrays or LISTS of consecutive
+    chunks (a *segment* — the batched album runner checkpoints every N
+    chunks, so one file carries the N chunks ending at index ``i``).
+    The file is keyed by the LAST chunk index it contains."""
+    ys = y if isinstance(y, (list, tuple)) else [y]
+    cells_seq = cells if isinstance(cells, (list, tuple)) else [cells]
     payload = {
-        "y": np.asarray(y),
+        "ys": [np.asarray(v) for v in ys],
         "state": jax.tree.map(np.asarray, state),
-        "cells": np.asarray(cells),
+        "cells": [None if c is None else np.asarray(c) for c in cells_seq],
+        "start": i - len(ys) + 1,
     }
     path = _ckpt_path(checkpoint_dir, i)
     tmp = path + ".tmp"
@@ -209,18 +224,36 @@ def _save_checkpoint(checkpoint_dir, i, y, state, cells):
 
 
 def _load_checkpoints(checkpoint_dir, num_chunks, dtype):
-    """Replay the contiguous prefix of saved chunks."""
+    """Replay the contiguous prefix of saved chunk segments."""
+    import glob
+
     processed, cell_list = [], []
     state = StreamState()
     i = 0
-    while i < num_chunks and os.path.exists(_ckpt_path(checkpoint_dir, i)):
-        with open(_ckpt_path(checkpoint_dir, i), "rb") as f:
+    files = sorted(glob.glob(os.path.join(checkpoint_dir, "chunk_*.pkl")))
+    for path in files:
+        with open(path, "rb") as f:
             payload = pickle.load(f)
-        processed.append(jnp.asarray(payload["y"], dtype=dtype))
-        cell_list.append(jnp.asarray(payload["cells"], dtype=dtype))
+        ys = payload.get("ys")
+        if ys is None:  # pre-segment single-chunk format
+            ys = [payload["y"]]
+            cells_seq = [payload.get("cells")]
+            start = int(os.path.basename(path)[6:11])
+        else:
+            cells_seq = payload["cells"]
+            start = payload["start"]
+        if start != i:  # gap → stop at the contiguous prefix
+            break
+        for y, cells in zip(ys, cells_seq):
+            processed.append(jnp.asarray(y, dtype=dtype))
+            cell_list.append(None if cells is None
+                             else jnp.asarray(cells, dtype=dtype))
         state = jax.tree.map(jnp.asarray, payload["state"])
-        i += 1
-    return i, state, processed, cell_list
+        i = start + len(ys)
+        if i >= num_chunks:
+            break
+    return min(i, num_chunks), state, processed[:num_chunks], \
+        cell_list[:num_chunks]
 
 
 @functools.lru_cache(maxsize=32)
@@ -229,7 +262,7 @@ def _compiled(config: ChainConfig):
     (a worker serving many jobs compiles once per config + chunk shape)."""
     fx = jax.jit(functools.partial(_fx_chunk, config=config,
                                    variant_mb=config.variant),
-                 static_argnames=("first",))
+                 static_argnames=("first", "need_cells"))
     fin = jax.jit(functools.partial(_finalize_chunk, config=config),
                   static_argnames=("emit_i16",))
     fin_la = jax.jit(functools.partial(_finalize_lookahead, config=config),
@@ -329,13 +362,15 @@ def master_streamed(audio, params: MasteringParams, config: ChainConfig,
         if start_chunk and progress_cb:
             progress_cb(f"Resuming from chunk {start_chunk + 1}/{num_chunks}...")
 
+    need_cells = params.lufs_enabled or return_meters
     next_dev = chunk_at(start_chunk) if start_chunk < num_chunks else None
     for i in range(start_chunk, num_chunks):
         cur = next_dev
         if i + 1 < num_chunks:
             next_dev = chunk_at(i + 1)
         y, new_state, cells = fx(cur, params, state=state,
-                                 first=(i == 0 or not carry_state))
+                                 first=(i == 0 or not carry_state),
+                                 need_cells=need_cells)
         state = new_state if carry_state else StreamState()
         processed.append(y)       # device-resident until pass B
         cell_list.append(cells)

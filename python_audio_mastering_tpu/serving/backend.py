@@ -74,11 +74,21 @@ def make_backend_app(store: BlobStore, publish, upload_expiry_s: int = 900,
                 return json_response(
                     {"error": "gcs_uris must be a non-empty list of URIs"},
                     400)
+            # Output keys derive from basenames, so two same-named files in
+            # one album would collide: the second would overwrite the
+            # first's upload AND output blob, and the client would poll one
+            # key twice.  Reject up front rather than corrupt silently.
+            out_names = [store_mod.output_key_for(u) for u in uris]
+            if len(set(out_names)) != len(out_names):
+                dupes = sorted({n for n in out_names
+                                if out_names.count(n) > 1})
+                return json_response(
+                    {"error": "duplicate filenames in album job: "
+                              + ", ".join(dupes)}, 400)
             publish(data)
             return json_response({
                 "message": "Processing job started.",
-                "processed_filenames":
-                    [store_mod.output_key_for(u) for u in uris]})
+                "processed_filenames": out_names})
         publish(data)
         original = data["settings"].get("original_filename", "unknown.wav")
         processed = f"processed/mastered_{original}"
@@ -103,7 +113,20 @@ def make_backend_app(store: BlobStore, publish, upload_expiry_s: int = 900,
                 {"status": "error",
                  "message": "Processing complete but output file is missing."}, 404)
         url = store.signed_get_url(filename, expires_s=download_expiry_s)
-        return json_response({"status": "done", "download_url": url})
+        payload = {"status": "done", "download_url": url}
+        # R128 telemetry sidecar uploaded by the worker (engine._upload_
+        # meters): surfaced inline so clients get LUFS/LRA/true-peak with
+        # the download link (the reference logs one LUFS line server-side
+        # and discards it, engine:221)
+        if store.exists(f"{filename}.meters.json"):
+            try:
+                import json as _json
+
+                payload["meters"] = _json.loads(
+                    store.download(f"{filename}.meters.json"))
+            except Exception:  # noqa: BLE001 — telemetry must not block downloads
+                pass
+        return json_response(payload)
 
     if local:
         @app.route("/blob/<path:key>", methods=["PUT", "GET"])

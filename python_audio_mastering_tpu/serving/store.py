@@ -62,6 +62,14 @@ class BlobStore:
     def uri(self, key: str) -> str:
         return f"{self.scheme}://{self.bucket}/{key}"
 
+    def stat(self, key: str):
+        """Cheap content-version fingerprint ``(size, version)`` or None.
+
+        Used to key resumable-job checkpoints: a re-uploaded blob (same
+        name, new bytes) must invalidate stale checkpoints, so the job id
+        folds this in.  None (unknown) simply weakens the key."""
+        return None
+
     def signed_put_url(self, key: str, expires_s: int = 900, content_type=None) -> str:
         raise NotImplementedError
 
@@ -115,6 +123,13 @@ class LocalFSBlobStore(BlobStore):
         if self.exists(key):
             os.remove(self._path(key))
 
+    def stat(self, key: str):
+        try:
+            st = os.stat(self._path(key))
+        except OSError:
+            return None
+        return (st.st_size, st.st_mtime_ns)
+
     # -- signed URLs ------------------------------------------------------
     def _token(self, method: str, key: str, expires: int) -> str:
         msg = f"{method}:{self.bucket}:{key}:{expires}".encode()
@@ -166,6 +181,12 @@ class GCSBlobStore(BlobStore):
 
     def delete(self, key):
         self._bucket.blob(key).delete()
+
+    def stat(self, key):
+        blob = self._bucket.get_blob(key)
+        if blob is None:
+            return None
+        return (blob.size, blob.generation)
 
     def signed_put_url(self, key, expires_s=900, content_type=None):
         import datetime

@@ -27,9 +27,78 @@ from python_audio_mastering_tpu.serving.http import App, text_response
 from python_audio_mastering_tpu.serving.jobqueue import decode_envelope
 from python_audio_mastering_tpu.serving.store import BlobStore, output_key_for
 
-__all__ = ["make_consumer", "make_worker_app", "run_job"]
+__all__ = ["make_consumer", "make_worker_app", "run_job", "job_options"]
 
 _output_key = output_key_for  # shared naming contract (store.output_key_for)
+
+
+def job_options() -> dict:
+    """Deployment knobs for the job execution path, read per job so tests
+    and operators can flip them without restarting.
+
+    The defaults ARE the benchmarked configuration (BENCH config 5): the
+    production worker must run the same path the bench measures.
+
+    * ``PAM_TRANSFER`` = ``pcm16`` (default) | ``float32`` — host↔device
+      wire format.  pcm16 halves the link bytes at the 16-bit export noise
+      floor (the output is exported at 16 bits anyway, engine:125).
+    * ``PAM_CHECKPOINT`` = ``off`` (default) | ``sync`` | ``every_n[:N]``
+      — chunk-granular album checkpointing.  Off by default: recovery is
+      the bounded idempotent retry (re-running an album costs seconds of
+      compute), while per-chunk audio readback costs real wall time on
+      link-bound deployments — it would make the deployed path ~10× slower
+      than the benchmark.  Enable ``every_n:4`` for jobs where mid-album
+      resume matters more than latency (saves run on a background thread
+      either way).  ``PAM_CHECKPOINT_N`` sets N when ``every_n`` has no
+      suffix (default 4).
+    * ``PAM_METERS`` = ``1`` (default) | ``0`` — upload the R128 summary
+      sidecar (``{output}.meters.json``) per mastered file.
+    """
+    transfer = os.environ.get("PAM_TRANSFER", "pcm16").strip().lower()
+    if transfer not in ("pcm16", "float32"):
+        transfer = "pcm16"
+    ck = os.environ.get("PAM_CHECKPOINT", "off").strip().lower()
+    if ck in ("", "off", "0", "none", "false"):
+        every = 0
+    elif ck in ("on", "sync", "1", "true"):
+        every = 1
+    elif ck.startswith("every_n"):
+        try:
+            every = int(ck.split(":", 1)[1]) if ":" in ck else \
+                int(os.environ.get("PAM_CHECKPOINT_N", "4"))
+        except ValueError:
+            every = 4
+        every = max(1, every)
+    else:
+        every = 0
+    meters = os.environ.get("PAM_METERS", "1").strip().lower() \
+        not in ("0", "false", "off", "no")
+    return {"transfer": transfer, "checkpoint_every": every,
+            "emit_meters": meters}
+
+
+def _album_job_id(uris, settings, store) -> str:
+    """Checkpoint key for an album job: URIs + settings + blob versions.
+
+    Folding the settings dict and each blob's content fingerprint
+    (``store.stat``) in means a resubmission with changed sliders or
+    re-uploaded audio gets a FRESH checkpoint dir — stale chunks mastered
+    with old settings/audio can never be silently resumed into the new
+    job's output."""
+    import hashlib
+    import json
+
+    from python_audio_mastering_tpu.serving import store as store_mod
+
+    h = hashlib.sha1("\n".join(uris).encode())
+    h.update(json.dumps(settings, sort_keys=True, default=str).encode())
+    for u in uris:
+        try:
+            _, _, key = store_mod.parse_uri(u)
+            h.update(repr(store.stat(key)).encode())
+        except Exception:  # noqa: BLE001 — stat is best-effort
+            h.update(b"?")
+    return h.hexdigest()[:16]
 
 
 def run_job(payload: dict, store: BlobStore, max_retries: int = 1,
@@ -39,7 +108,9 @@ def run_job(payload: dict, store: BlobStore, max_retries: int = 1,
     Two payload shapes: ``{gcs_uri, settings}`` (the reference wire,
     worker/main.py:28-39) or ``{gcs_uris: [...], settings}`` — an album
     job, mastered as one batched chunked device call with per-file outputs
-    and ``.complete`` flags (framework extension)."""
+    and ``.complete`` flags (framework extension).  Execution knobs
+    (transfer format, checkpoint cadence, meter sidecars) come from
+    :func:`job_options`; the defaults match the benchmarked path."""
     uris = payload.get("gcs_uris")
     gcs_uri = payload.get("gcs_uri")
     settings = payload.get("settings")
@@ -59,30 +130,35 @@ def run_job(payload: dict, store: BlobStore, max_retries: int = 1,
         for k in out_keys:
             store.upload(f"{k}.failed", str(bad_uri_err).encode("utf-8"))
         raise bad_uri_err
+    opts = job_options()
     last = None
     ckpt_dir = None
-    if uris:
-        # chunk-granular checkpoints keyed by the job's URI set: a retry
-        # after a mid-album crash resumes from the last completed chunk
-        # instead of re-mastering the whole album
-        import hashlib
+    if uris and opts["checkpoint_every"] > 0:
+        # chunk-granular checkpoints keyed by URIs + settings + blob
+        # versions: a retry after a mid-album crash resumes from the last
+        # completed chunk; a *different* job with the same filenames gets
+        # a fresh dir (never resumes stale chunks)
         import tempfile
 
-        job_id = hashlib.sha1("\n".join(uris).encode()).hexdigest()[:16]
-        ckpt_dir = os.path.join(tempfile.gettempdir(),
-                                "pam_album_ckpt", job_id)
+        ckpt_dir = os.path.join(tempfile.gettempdir(), "pam_album_ckpt",
+                                _album_job_id(uris, settings, store))
     for attempt in range(max_retries + 1):
         try:
             if uris:
-                engine.process_album_from_uris(uris, settings, store=store,
-                                               config=config,
-                                               checkpoint_dir=ckpt_dir)
-                import shutil
+                engine.process_album_from_uris(
+                    uris, settings, store=store, config=config,
+                    transfer=opts["transfer"], checkpoint_dir=ckpt_dir,
+                    checkpoint_every=max(1, opts["checkpoint_every"]),
+                    emit_meters=opts["emit_meters"])
+                if ckpt_dir:
+                    import shutil
 
-                shutil.rmtree(ckpt_dir, ignore_errors=True)
+                    shutil.rmtree(ckpt_dir, ignore_errors=True)
             else:
-                engine.process_audio_from_uri(gcs_uri, settings, store=store,
-                                              config=config)
+                engine.process_audio_from_uri(
+                    gcs_uri, settings, store=store, config=config,
+                    transfer=opts["transfer"],
+                    emit_meters=opts["emit_meters"])
             for k in out_keys:
                 store.delete(f"{k}.failed")
             return out_keys if uris else out_keys[0]

@@ -101,3 +101,54 @@ def test_album_resume_matches_uninterrupted(tmp_path):
     for i in range(2):
         np.testing.assert_allclose(outs[i], full[i], rtol=1e-12, atol=1e-14)
         assert abs(measured[i] - m_full[i]) < 1e-12
+
+
+def test_album_segment_checkpoints_every_n(tmp_path):
+    """checkpoint_every=N writes one segment file per N chunks (bounding
+    the readback bursts) and resume replays whole segments exactly."""
+    import glob
+    import os
+
+    from python_audio_mastering_tpu.parallel import batch as pbatch
+
+    tracks = [make_signal(int(FS * 1.2), fs=FS, seed=s) * 0.4 for s in (3, 4)]
+    params = MasteringParams.from_settings({"preset": "rock", "lufs": -15.0})
+    cfg = ChainConfig(sample_rate=FS, dtype="float64")
+
+    full, m_full = pbatch.master_album_streamed(tracks, params, cfg,
+                                                chunk_seconds=0.4)
+
+    # full run with every-2 checkpointing: 3 chunks -> 2 segment files
+    ckpt = str(tmp_path / "seg")
+    pbatch.master_album_streamed(tracks, params, cfg, chunk_seconds=0.4,
+                                 checkpoint_dir=ckpt, checkpoint_every=2)
+    files = sorted(glob.glob(os.path.join(ckpt, "chunk_*.pkl")))
+    assert [os.path.basename(f) for f in files] == ["chunk_00001.pkl",
+                                                    "chunk_00002.pkl"]
+
+    # interrupted run saves only the complete segment (chunks 0-1); resume
+    # replays it and recomputes the rest, matching the uninterrupted result
+    ckpt2 = str(tmp_path / "seg2")
+
+    class Stop(Exception):
+        pass
+
+    def interrupt(msg):
+        if "Processed chunk 3/" in msg:
+            raise Stop()
+
+    try:
+        pbatch.master_album_streamed(tracks, params, cfg, chunk_seconds=0.4,
+                                     progress_cb=interrupt,
+                                     checkpoint_dir=ckpt2,
+                                     checkpoint_every=2)
+    except Stop:
+        pass
+    msgs = []
+    outs, measured = pbatch.master_album_streamed(
+        tracks, params, cfg, chunk_seconds=0.4, progress_cb=msgs.append,
+        checkpoint_dir=ckpt2, checkpoint_every=2)
+    assert any(m.startswith("Resuming from checkpoint: 2/") for m in msgs)
+    for i in range(2):
+        np.testing.assert_allclose(outs[i], full[i], rtol=1e-12, atol=1e-14)
+        assert abs(measured[i] - m_full[i]) < 1e-12

@@ -180,3 +180,22 @@ def test_dither_settings_key(tmp_path):
     assert not np.array_equal(yd, yp)  # dither changed the quantization
     # and only at the ~1-LSB level
     assert np.abs(yd - yp).max() <= 3.0 / 32768.0
+
+
+def test_conform_album_max_rate_policy():
+    """Mixed-rate albums conform to the MAX rate present (a 22.05 kHz
+    first file must not downgrade the 48 kHz tracks — VERDICT r2 #5)."""
+    import numpy as np
+
+    from python_audio_mastering_tpu import engine
+    from tests.conftest import make_signal
+
+    lo = (make_signal(11025, fs=22050) * 0.4).astype(np.float32)
+    hi = (make_signal(24000, fs=48000, seed=1) * 0.4).astype(np.float32)
+    tracks, fs = engine.conform_album_tracks(
+        [(lo, 22050), (hi, 48000)], ["lo.wav", "hi.wav"], lambda m: None)
+    assert fs == 48000
+    # the low-rate track was upsampled (~2.177x frames), the high-rate
+    # track untouched
+    assert abs(tracks[0].shape[0] - int(11025 * 48000 / 22050)) <= 2
+    np.testing.assert_array_equal(tracks[1], hi)

@@ -162,3 +162,71 @@ def test_real_tk_app_settings_roundtrip():
         assert s["compress"] is False
     finally:
         app.destroy()
+
+
+def test_automaster_job_validation_and_busy_gate():
+    from python_audio_mastering_tpu.gui_logic import GuiState
+
+    st = GuiState()
+    s, err = st.start_automaster_job("", "ref.wav", "out.wav")
+    assert s is None and "select" in err.lower()
+    s, err = st.start_automaster_job("in.wav", "ref.wav", "out.wav")
+    assert err is None and st.busy
+    assert s["input_file"] == "in.wav"
+    assert s["reference_file"] == "ref.wav"
+    assert s["output_file"] == "out.wav"
+    # busy gate blocks a second job until a terminal status arrives
+    s2, err2 = st.start_automaster_job("a.wav", "b.wav", "c.wav")
+    assert s2 is None and "already running" in err2
+    assert st.on_status("Processing complete! Saved to out.wav") == "done"
+    assert not st.busy
+
+
+def test_apply_fitted_settings_clamps_to_slider_ranges():
+    from python_audio_mastering_tpu.gui_logic import (
+        AUTOMASTER_KEYS, GuiState)
+
+    st = GuiState()
+    fitted = {"saturation": 35.0, "bass_boost": 2.5, "mid_cut": -3.0,
+              "presence_boost": 9.0, "treble_boost": 1.0, "width": 1.4,
+              "lufs": -14.0, "multiband": False}
+    applied = st.apply_fitted_settings(fitted)
+    assert set(applied) == set(AUTOMASTER_KEYS)
+    assert st.values["saturation"] == 35.0
+    assert st.values["mid_cut"] == 0.0       # clamped: slider floor is 0
+    assert st.values["presence_boost"] == 6.0  # clamped: slider cap is 6
+    assert st.values["width"] == 1.4
+    assert st.preset == "None"
+
+
+def test_automaster_engine_end_to_end(tmp_path):
+    """The automaster engine fits finite slider values, writes the output,
+    and finishes with a 'complete' message (the GUI completion contract)."""
+    import numpy as np
+
+    from python_audio_mastering_tpu import engine
+    from python_audio_mastering_tpu.config import ChainConfig
+    from python_audio_mastering_tpu.io import wavio
+    from tests.conftest import make_signal
+
+    fs = 44100
+    x = (make_signal(fs, fs=fs) * 0.3).astype(np.float32)
+    ref = (make_signal(fs, fs=fs, seed=5) * 0.5).astype(np.float32)
+    wavio.write_wav(tmp_path / "in.wav", x, fs)
+    wavio.write_wav(tmp_path / "ref.wav", ref, fs)
+    msgs = []
+    fitted = engine.automaster_audio(
+        {"input_file": str(tmp_path / "in.wav"),
+         "reference_file": str(tmp_path / "ref.wav"),
+         "output_file": str(tmp_path / "out.wav"),
+         "lufs": -16.0},
+        status_callback=msgs.append,
+        config=ChainConfig(sample_rate=fs, filter_method="blocked",
+                           block_size=256, comp_hop=8, comp_block_ctrl=256),
+        steps=3)
+    assert fitted is not None
+    assert all(np.isfinite(v) for v in fitted.values()
+               if isinstance(v, float))
+    assert (tmp_path / "out.wav").exists()
+    assert any("complete" in m.lower() for m in msgs)
+    assert any("Fitting" in m for m in msgs)

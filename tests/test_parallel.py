@@ -128,3 +128,66 @@ def test_album_streamed_lookahead_quality_mode():
         ref = np.asarray(master(t, params, cfg))
         assert outs[i].shape == ref.shape
         np.testing.assert_allclose(outs[i], ref, rtol=1e-9, atol=1e-9)
+
+
+def test_album_meters_match_per_track_streamed():
+    """Album return_meters: every track's R128 meter family equals its own
+    single-track streamed measurement (VERDICT r2 #4)."""
+    from python_audio_mastering_tpu.parallel import streaming
+
+    # track lengths straddle the 3 s short-term window so LRA is defined
+    # for the long tracks and nan for the short one (both paths must agree)
+    tracks = [make_signal(int(FS * sec), fs=FS, seed=s) * 0.4
+              for s, sec in ((11, 3.6), (12, 3.3), (13, 1.3))]
+    params = MasteringParams.from_settings(
+        {"preset": "techno", "saturation": 8, "lufs": -15.0})
+    cfg = ChainConfig(sample_rate=FS, dtype="float64")
+
+    outs, measured, meters = pbatch.master_album_streamed(
+        tracks, params, cfg, chunk_seconds=0.5, return_meters=True)
+
+    for i, t in enumerate(tracks):
+        ref_out, ref_m, ref_g, ref_meters = streaming.master_streamed(
+            t, params, cfg, chunk_seconds=0.5, return_meters=True)
+        np.testing.assert_allclose(outs[i], ref_out, rtol=1e-12, atol=1e-14)
+        m = meters[i]
+        np.testing.assert_allclose(m["momentary_lufs"],
+                                   ref_meters["momentary_lufs"],
+                                   rtol=1e-10, atol=1e-10)
+        np.testing.assert_allclose(m["short_term_lufs"],
+                                   ref_meters["short_term_lufs"],
+                                   rtol=1e-10, atol=1e-10)
+        if np.isnan(ref_meters["lra_lu"]):
+            assert np.isnan(m["lra_lu"])
+        else:
+            assert abs(m["lra_lu"] - ref_meters["lra_lu"]) < 1e-9
+        assert abs(m["true_peak_dbtp"] - ref_meters["true_peak_dbtp"]) < 1e-9
+        assert abs(m["integrated_lufs"]
+                   - ref_meters["integrated_lufs"]) < 1e-9
+
+
+def test_album_no_lufs_skips_cells():
+    """With LUFS off and no meters requested, the fx pass must not compute
+    loudness cells at all (VERDICT r2 #6/#7) — and output is unchanged."""
+    from python_audio_mastering_tpu.parallel import streaming
+
+    x = make_signal(int(FS * 0.9), fs=FS, seed=20) * 0.4
+    params = MasteringParams.from_settings({"preset": "pop", "lufs": None})
+    cfg = ChainConfig(sample_rate=FS, dtype="float64")
+    out, measured, gain_db = streaming.master_streamed(x, params, cfg,
+                                                       chunk_seconds=0.4)
+    assert gain_db == 0.0 and not np.isfinite(measured)
+
+    # direct check: need_cells=False returns no cells and identical audio
+    import jax.numpy as jnp
+
+    y1, s1, c1 = streaming._fx_chunk(jnp.asarray(x), params, cfg,
+                                     streaming.StreamState(), first=True,
+                                     variant_mb=cfg.variant,
+                                     need_cells=False)
+    y2, s2, c2 = streaming._fx_chunk(jnp.asarray(x), params, cfg,
+                                     streaming.StreamState(), first=True,
+                                     variant_mb=cfg.variant,
+                                     need_cells=True)
+    assert c1 is None and s1.kw_zi is None and c2 is not None
+    np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))

@@ -339,3 +339,114 @@ def test_album_mixed_channel_conform():
     assert fs == FS
     assert tracks[0].shape == (8000, 2) and tracks[1].shape == (9000, 2)
     np.testing.assert_array_equal(tracks[0][:, 0], tracks[0][:, 1])
+
+
+def test_album_duplicate_basenames_rejected(stack):
+    """Two same-named files in one album would collide on upload/output
+    keys (output keys derive from basenames) — reject with 400."""
+    store, q, backend = stack
+    status, resp = backend.get_json(
+        "POST", "/start-processing",
+        {"gcs_uris": ["local://test-bucket/u1/x.wav",
+                      "local://test-bucket/u2/x.wav"],
+         "settings": {"lufs": -14.0}})
+    assert status == 400 and "duplicate" in resp["error"]
+
+
+def test_status_surfaces_meters(stack):
+    """/status carries the worker's R128 sidecar next to the download URL
+    (VERDICT r2 #4: telemetry must be reachable from the serving path)."""
+    store, q, backend = stack
+    _, resp = backend.get_json("POST", "/generate-upload-url",
+                               {"filename": "m.wav"})
+    backend.request("PUT", resp["url"], _wav_bytes(1.0),
+                    content_type="audio/wav")
+    status, resp2 = backend.get_json(
+        "POST", "/start-processing",
+        {"gcs_uri": resp["gcs_uri"],
+         "settings": {"lufs": -16.0, "original_filename": "m.wav"}})
+    assert status == 200
+    processed = resp2["processed_filename"]
+    for _ in range(600):
+        status, s = backend.get_json("GET", f"/status?filename={processed}")
+        if s["status"] == "done":
+            break
+        time.sleep(0.1)
+    else:
+        pytest.fail("job did not complete")
+    m = s.get("meters")
+    assert m is not None, "done status must carry the meters sidecar"
+    assert abs(m["integrated_lufs"] - (-16.0)) < 1.0
+    assert m["true_peak_dbtp"] is not None
+    assert "lra_lu" in m and "max_momentary_lufs" in m
+
+
+def test_job_options_env(monkeypatch):
+    """PAM_TRANSFER / PAM_CHECKPOINT / PAM_METERS knobs; defaults are the
+    benchmarked configuration (pcm16, no checkpointing, meters on)."""
+    from python_audio_mastering_tpu.serving import worker
+
+    for var in ("PAM_TRANSFER", "PAM_CHECKPOINT", "PAM_CHECKPOINT_N",
+                "PAM_METERS"):
+        monkeypatch.delenv(var, raising=False)
+    assert worker.job_options() == {"transfer": "pcm16",
+                                    "checkpoint_every": 0,
+                                    "emit_meters": True}
+    monkeypatch.setenv("PAM_TRANSFER", "float32")
+    monkeypatch.setenv("PAM_CHECKPOINT", "every_n:3")
+    monkeypatch.setenv("PAM_METERS", "0")
+    assert worker.job_options() == {"transfer": "float32",
+                                    "checkpoint_every": 3,
+                                    "emit_meters": False}
+    monkeypatch.setenv("PAM_CHECKPOINT", "sync")
+    assert worker.job_options()["checkpoint_every"] == 1
+    monkeypatch.setenv("PAM_CHECKPOINT", "every_n")
+    monkeypatch.setenv("PAM_CHECKPOINT_N", "7")
+    assert worker.job_options()["checkpoint_every"] == 7
+
+
+def test_run_job_respects_env_options(tmp_path, monkeypatch):
+    """The deployed path runs the benchmarked configuration: pcm16
+    transfer, NO checkpoint dir by default; every_n creates a job-keyed
+    dir (VERDICT r2 #1)."""
+    from python_audio_mastering_tpu.serving import worker
+
+    for var in ("PAM_TRANSFER", "PAM_CHECKPOINT", "PAM_METERS"):
+        monkeypatch.delenv(var, raising=False)
+    store = LocalFSBlobStore(str(tmp_path), bucket="b")
+    store.upload("up/a.wav", _wav_bytes(0.5))
+    captured = {}
+
+    def fake_album(uris, settings, store=None, config=None,
+                   transfer="float32", checkpoint_dir=None,
+                   checkpoint_every=1, emit_meters=True, **kw):
+        captured.update(transfer=transfer, checkpoint_dir=checkpoint_dir,
+                        checkpoint_every=checkpoint_every,
+                        emit_meters=emit_meters)
+        return ["processed/mastered_a.wav"]
+
+    monkeypatch.setattr(worker.engine, "process_album_from_uris", fake_album)
+    payload = {"gcs_uris": ["local://b/up/a.wav"], "settings": {"lufs": -14.0}}
+    worker.run_job(payload, store)
+    assert captured["transfer"] == "pcm16"
+    assert captured["checkpoint_dir"] is None  # no per-chunk readback tax
+    assert captured["emit_meters"] is True
+
+    monkeypatch.setenv("PAM_CHECKPOINT", "every_n:2")
+    worker.run_job(payload, store)
+    assert captured["checkpoint_every"] == 2
+    assert captured["checkpoint_dir"] is not None
+    dir1 = captured["checkpoint_dir"]
+
+    # a different settings dict MUST get a different checkpoint dir —
+    # resubmitting same filenames with new sliders can never silently
+    # resume stale chunks (advisor r2, medium)
+    worker.run_job({"gcs_uris": payload["gcs_uris"],
+                    "settings": {"lufs": -9.0}}, store)
+    assert captured["checkpoint_dir"] != dir1
+
+    # re-uploaded audio (same name, new bytes) also invalidates
+    time.sleep(0.01)
+    store.upload("up/a.wav", _wav_bytes(0.6))
+    worker.run_job(payload, store)
+    assert captured["checkpoint_dir"] != dir1
