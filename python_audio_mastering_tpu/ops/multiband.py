@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import functools
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -31,7 +32,8 @@ from python_audio_mastering_tpu.ops import compressor as comp
 from python_audio_mastering_tpu.ops import iir
 from python_audio_mastering_tpu.ops.biquad import butter_sos
 
-__all__ = ["crossover_split", "multiband_compress", "BAND_BALLISTICS_MS"]
+__all__ = ["crossover_split", "multiband_compress", "BAND_BALLISTICS_MS",
+           "detector_stats_fused"]
 
 # (attack_ms, release_ms) per band, fixed in the reference (engine:207-209).
 BAND_BALLISTICS_MS = ((10.0, 200.0), (5.0, 150.0), (1.0, 50.0))
@@ -109,6 +111,95 @@ def detector_lookpad(sample_rate, hop=1):
     return -(-look_max // hop) * hop
 
 
+def detector_stats_fused(x, low, high, sample_rate, thresholds_db, ratios,
+                         hop=1, ctrl_tail=None):
+    """Detector stats for the worker split WITHOUT materializing the mid
+    band — the HBM-lean formulation (VERDICT r2 #2).
+
+    ``mid = x - low - high`` appears only inside the squared-energy
+    reduction here (and inside the gain-apply epilogue in
+    :func:`multiband_compress`), so XLA fuses it into each consumer
+    instead of writing a third full-length band to HBM and re-reading it.
+
+    Streaming state is carried at the CONTROL rate: ``ctrl_tail``
+    ``(3, look_ctrl)`` holds the previous chunk's last hop-bucketed x²
+    sums per band — a few hundred floats instead of the
+    ``(3, look_pad, C)`` sample tail, and no full-length
+    ``concatenate(tail, band)`` copy per chunk.  Bucket sums concatenate
+    exactly (chunk lengths and ``look_pad`` are hop-aligned), so the
+    moving-window sums equal the sample-tail formulation's by partition.
+
+    Returns ``(stats dict of (T, 3) arrays, new_ctrl_tail (3, look_ctrl))``.
+    """
+    from python_audio_mastering_tpu.ops.compressor import cumsum_mxu
+
+    n = x.shape[0]
+    dt = x.dtype
+    t = -(-n // hop)
+    attacks = tuple(a for a, _ in BAND_BALLISTICS_MS)
+    releases = tuple(r for _, r in BAND_BALLISTICS_MS)
+    look_ctrl = detector_lookpad(sample_rate, hop) // hop
+
+    mid = x - low - high  # fused into the reduction; never an output
+    rows = [(b * b).mean(axis=1) for b in (low, mid, high)]
+    if hop == 1:
+        xb = jnp.stack(rows)  # (3, t), t == n
+    else:
+        xb = jnp.stack([
+            jnp.pad(r, (0, t * hop - n)).reshape(t, hop).sum(-1)
+            for r in rows])
+    offset = 0
+    ext = xb
+    if ctrl_tail is not None:
+        offset = ctrl_tail.shape[1]
+        ext = jnp.concatenate([ctrl_tail.astype(dt), xb], axis=1)
+    csum = jnp.concatenate(
+        [jnp.zeros((3, 1), dt), cumsum_mxu(ext, axis=1)], axis=1)
+
+    ms_cols, att_f, rel_f = [], [], []
+    for i in range(3):
+        look = max(0, int(attacks[i] * sample_rate / 1000.0))
+        look_eff = look if hop == 1 else max(hop, -(-look // hop) * hop)
+        wb = min(look if hop == 1 else look_eff // hop, t + offset)
+        hi = jax.lax.dynamic_slice_in_dim(csum[i], offset, t)
+        if offset >= wb:
+            lo = jax.lax.dynamic_slice_in_dim(csum[i], offset - wb, t)
+            cnt = jnp.full((t,), max(look_eff, 1), dt)
+        else:
+            lo = jnp.concatenate([jnp.zeros((wb,), dt), hi[: t - wb]])
+            cnt = jnp.minimum(jnp.arange(t) * hop,
+                              max(look_eff, 1)).clip(1).astype(dt)
+        ms_cols.append((hi - lo) / cnt)
+        att_f.append(max(attacks[i] * sample_rate / 1000.0, 1.0))
+        rel_f.append(max(releases[i] * sample_rate / 1000.0, 1.0))
+
+    ms = jnp.stack(ms_cols, axis=-1)  # (T, 3)
+    thresh_amp = 10.0 ** (jnp.stack(
+        [jnp.asarray(v, dt) for v in thresholds_db]) / 20.0)
+    rms = jnp.sqrt(jnp.maximum(ms, 0.0))
+    eps = jnp.asarray(1e-30, dt)
+    db_over = jnp.maximum(
+        20.0 * jnp.log10(jnp.maximum(rms, eps) / thresh_amp), 0.0)
+    db_over = jnp.where(rms > 0, db_over, 0.0)
+    ratio = jnp.stack([jnp.asarray(r, dt) for r in ratios])
+    max_att = (1.0 - 1.0 / ratio) * db_over
+    att_f = jnp.asarray(att_f, dt)
+    rel_f = jnp.asarray(rel_f, dt)
+    stats = {
+        "max_att": max_att,
+        "above": rms > thresh_amp,
+        "inc": max_att / att_f * hop,
+        "dec": max_att / rel_f * hop,
+    }
+    if look_ctrl > 0:
+        pad = max(0, look_ctrl - ext.shape[1])
+        new_tail = jnp.concatenate(
+            [jnp.zeros((3, pad), dt), ext], axis=1)[:, -look_ctrl:]
+    else:
+        new_tail = jnp.zeros((3, 0), dt)
+    return stats, new_tail
+
+
 def multiband_compress(x, sample_rate, thresholds_db, ratios, variant="worker",
                        low_crossover=250.0, high_crossover=4000.0,
                        filter_method="auto", hop=1, block_ctrl=None,
@@ -136,25 +227,46 @@ def multiband_compress(x, sample_rate, thresholds_db, ratios, variant="worker",
         x = x[:, None]
     n, c = x.shape
     state = state or {}
-    bands, zf = _crossover_bands(x, sample_rate, variant=variant,
-                                 low_crossover=low_crossover,
-                                 high_crossover=high_crossover,
-                                 filter_method=filter_method,
-                                 zi=state.get("crossover"))
+    blocked = filter_method == "blocked" or (
+        filter_method == "auto" and n >= 4 * 512)
+    # HBM-lean fused path (VERDICT r2 #2): worker split + blocked filters —
+    # the mid band exists only inside fused expressions (detector reduction
+    # + gain-apply epilogue), never as a third full-length HBM array, and
+    # the streaming detector tail is carried at the control rate.  A legacy
+    # sample-tail state (old checkpoint) falls back to the general path.
+    fused = (variant == "worker" and blocked
+             and state.get("tail") is None)
 
-    tail = state.get("tail")
-    look_pad = detector_lookpad(sample_rate, hop)
-    det_bands = bands if tail is None else tuple(
-        jnp.concatenate([tail[i], b]) for i, b in enumerate(bands))
-    skip_ctrl = 0 if tail is None else look_pad // hop
+    if fused:
+        lp_sos, hp_sos = _crossover_sos(sample_rate, low_crossover,
+                                        high_crossover)
+        zi = state.get("crossover") or {}
+        (low, high), (z_lp, z_hp) = iir.sosfilt_blocked_multi(
+            (lp_sos, hp_sos), x, (zi.get("lp"), zi.get("hp")))
+        zf = {"lp": z_lp, "hp": z_hp}
+        stacked, new_ctrl_tail = detector_stats_fused(
+            x, low, high, sample_rate, thresholds_db, ratios, hop=hop,
+            ctrl_tail=state.get("ctrl_tail"))
+    else:
+        bands, zf = _crossover_bands(x, sample_rate, variant=variant,
+                                     low_crossover=low_crossover,
+                                     high_crossover=high_crossover,
+                                     filter_method=filter_method,
+                                     zi=state.get("crossover"))
 
-    # Detectors: one batched pass over all 3 bands (different lookback
-    # windows handled per band at the cheap control-rate stage).
-    stacked = comp.detector_stats_bands(
-        det_bands, sample_rate, thresholds_db, ratios,
-        tuple(a for a, _ in BAND_BALLISTICS_MS),
-        tuple(r for _, r in BAND_BALLISTICS_MS), hop=hop)
-    stacked = {k: v[skip_ctrl:] for k, v in stacked.items()}
+        tail = state.get("tail")
+        look_pad = detector_lookpad(sample_rate, hop)
+        det_bands = bands if tail is None else tuple(
+            jnp.concatenate([tail[i], b]) for i, b in enumerate(bands))
+        skip_ctrl = 0 if tail is None else look_pad // hop
+
+        # Detectors: one batched pass over all 3 bands (different lookback
+        # windows handled per band at the cheap control-rate stage).
+        stacked = comp.detector_stats_bands(
+            det_bands, sample_rate, thresholds_db, ratios,
+            tuple(a for a, _ in BAND_BALLISTICS_MS),
+            tuple(r for _, r in BAND_BALLISTICS_MS), hop=hop)
+        stacked = {k: v[skip_ctrl:] for k, v in stacked.items()}
 
     # Ballistics: ONE pass, (3,)-vector carry.
     att0 = state.get("att")
@@ -180,17 +292,33 @@ def multiband_compress(x, sample_rate, thresholds_db, ratios, variant="worker",
         att, att_f = comp.attenuation_scan(stacked, att0)
 
     gains = 10.0 ** (-att / 20.0)  # (T, 3) control-rate
-    # Per-band repeat+multiply, accumulated into ONE output fusion.  The
-    # repeat (broadcast+reshape) fuses into the multiply; keeping bands as
-    # separate arrays avoids any (3, N, C) materialization (NOT einsum
-    # either: XLA lowers "bnc,nb->nc" as N tiny batched matmuls).
-    def band_gain(i):
-        g = gains[:, i]
+
+    def up(col):
+        g = col
         if hop > 1:
             g = jnp.repeat(g, hop, axis=0)[:n]
         return g[:, None]
 
-    y = sum(b * band_gain(i) for i, b in enumerate(bands))
+    if fused:
+        # y = Σ band·gain with mid = x − low − high folded in algebraically:
+        # x·g_mid + low·(g_low − g_mid) + high·(g_high − g_mid) — reads
+        # x/low/high once, never touches a materialized mid (deltas are
+        # formed at the control rate before the hop upsample)
+        y = (x * up(gains[:, 1])
+             + low * up(gains[:, 0] - gains[:, 1])
+             + high * up(gains[:, 2] - gains[:, 1]))
+        if squeeze:
+            y = y[:, 0]
+        if return_state:
+            return y, {"crossover": zf, "att": att_f,
+                       "ctrl_tail": new_ctrl_tail}
+        return y
+
+    # Per-band repeat+multiply, accumulated into ONE output fusion.  The
+    # repeat (broadcast+reshape) fuses into the multiply; keeping bands as
+    # separate arrays avoids any (3, N, C) materialization (NOT einsum
+    # either: XLA lowers "bnc,nb->nc" as N tiny batched matmuls).
+    y = sum(b * up(gains[:, i]) for i, b in enumerate(bands))
     if squeeze:
         y = y[:, 0]
     if return_state:
