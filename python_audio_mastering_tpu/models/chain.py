@@ -123,6 +123,71 @@ def _apply_eq_legacy(x, params, config):
     return x
 
 
+def _master_cm(x, params: MasteringParams, config: ChainConfig,
+               return_result: bool, valid_frames):
+    """Channel-major worker-variant chain body (the TPU hot path).
+
+    Internal execution layout is ``(C, N_pad)`` with ``N_pad`` a
+    ``block_size`` multiple:
+
+    * channel-major: every blocked-IIR pass is a plain 2-D folded-rows
+      matmul (``ops.iir`` channel-major section) — no batched-dot layout
+      copies, and time rides the lane axis for every elementwise op and
+      detector reduction;
+    * block-aligned: ``jnp.pad``/slice inside each filter pass is the
+      identity, so no full-signal pad or slice copies exist anywhere in the
+      compiled graph.  Loudness gating masks cells beyond the real length
+      (the ``valid_frames`` machinery), so padding never changes the
+      measurement; trailing filter ring-out lives only in the padded region,
+      which is cut by the final slice.
+
+    Numerically this is the same chain (same per-row contractions; float
+    reassociation only — parity-tested against the row-major path).
+    """
+    n, c = x.shape
+    L = config.block_size
+    n_pad = -(-n // L) * L
+    vf = n if valid_frames is None else jnp.minimum(valid_frames, n)
+    xT = jnp.pad(x.T, ((0, 0), (0, n_pad - n)))
+
+    xT = saturate(xT, params.saturation)
+    eq = eq_sos(params, config.sample_rate).astype(xT.dtype)
+    xT, _ = iir.sosfilt_blocked_cm(eq, xT, block_size=L, return_state=False)
+    xT = stereo_width(xT, params.width, channel_axis=0)
+    if params.multiband:
+        xT = multiband.multiband_compress(
+            xT, config.sample_rate,
+            thresholds_db=(params.low_thresh, params.mid_thresh,
+                           params.high_thresh),
+            ratios=(params.low_ratio, params.mid_ratio, params.high_ratio),
+            variant="worker", filter_method="blocked",
+            hop=config.comp_hop, block_ctrl=config.comp_block_ctrl,
+            overlap_ctrl=config.comp_overlap_ctrl,
+            ballistics=config.comp_ballistics, channel_major=True)
+
+    if params.lufs_enabled:
+        xT, measured, gain = normalize_to_lufs(
+            xT, config.sample_rate, params.lufs,
+            downmix=config.measure_downmix, valid_frames=vf,
+            channel_major=True)
+        gain_db = 20.0 * jnp.log10(gain)
+    else:
+        measured = jnp.asarray(jnp.nan, xT.dtype)
+        gain_db = jnp.zeros((), xT.dtype)
+
+    if config.limiter_mode == "lookahead_truepeak":
+        from python_audio_mastering_tpu.ops.limiter import lookahead_limiter
+
+        y = lookahead_limiter(xT.T[:n], config.sample_rate)
+    else:
+        y = soft_limiter(xT, threshold=config.limiter_threshold).T[:n]
+
+    if return_result:
+        return MasterResult(audio=y, measured_lufs=measured,
+                            applied_gain_db=gain_db)
+    return y
+
+
 def master(audio, params: MasteringParams, config: ChainConfig,
            return_result: bool = False, valid_frames=None):
     """Run the full mastering chain on ``(N, C)`` or ``(N,)`` float audio.
@@ -136,6 +201,14 @@ def master(audio, params: MasteringParams, config: ChainConfig,
     the unpadded track's.
     """
     x = jnp.asarray(audio, dtype=config.jnp_dtype())
+
+    # TPU hot path: worker variant + blocked filters → the channel-major,
+    # block-aligned body (see _master_cm).  Short signals, the legacy
+    # variant, and layout="nc" keep the row-major body below.
+    if (config.layout != "nc" and config.variant == "worker" and x.ndim == 2
+            and config.filter_method in ("auto", "blocked")
+            and x.shape[0] >= 4 * 512):
+        return _master_cm(x, params, config, return_result, valid_frames)
 
     if config.variant == "worker":
         x = saturate(x, params.saturation)

@@ -37,6 +37,8 @@ import numpy as np
 __all__ = [
     "sosfilt_scan",
     "sosfilt_blocked",
+    "sosfilt_blocked_cm",
+    "sosfilt_blocked_multi_cm",
     "sosfilt",
     "cascade_state_space",
     "zi_to_state",
@@ -166,21 +168,15 @@ def state_to_zi(s, k):
 
 
 @functools.lru_cache(maxsize=64)
-def _blocked_operators_static(sos_bytes, k, block_size):
-    """Float64 host-side operator precompute for *static* coefficients.
+def _state_space_static(sos_bytes, k):
+    """Float64 numpy ``(A, B, C, D)`` for a static SOS cascade.
 
-    The in-graph float32 operator chain (L-step associative matrix-power
-    scan) loses ~1e-2 relative energy accuracy for near-unit-circle poles
-    (the 38 Hz K-weighting high-pass); building the operators in float64
-    numpy once and casting brings the blocked filter's energy error down to
-    ~3e-7 — essential for ≤0.1 LU loudness in float32 (see
-    tests/test_loudness.py::test_float32_accuracy_within_baseline).
+    Pure-numpy build (no jax) so float64 survives even when jax x64 is
+    disabled — the production default.
     """
     import numpy as onp
 
     sos = onp.frombuffer(sos_bytes, dtype=onp.float64).reshape(k, 6)
-    # pure-numpy state-space build: float64 must survive even when jax x64
-    # is disabled (the production default)
     a = onp.zeros((2 * k, 2 * k))
     b = onp.zeros(2 * k)
     c = onp.zeros(2 * k)
@@ -201,6 +197,23 @@ def _blocked_operators_static(sos_bytes, k, block_size):
             c = onp.concatenate([c[:s] * b0, [1.0, 0.0],
                                  onp.zeros(2 * k - s - 2)])
             d = d * b0
+    return a, b, c, d
+
+
+@functools.lru_cache(maxsize=64)
+def _blocked_operators_static(sos_bytes, k, block_size):
+    """Float64 host-side operator precompute for *static* coefficients.
+
+    The in-graph float32 operator chain (L-step associative matrix-power
+    scan) loses ~1e-2 relative energy accuracy for near-unit-circle poles
+    (the 38 Hz K-weighting high-pass); building the operators in float64
+    numpy once and casting brings the blocked filter's energy error down to
+    ~3e-7 — essential for ≤0.1 LU loudness in float32 (see
+    tests/test_loudness.py::test_float32_accuracy_within_baseline).
+    """
+    import numpy as onp
+
+    a, b, c, d = _state_space_static(sos_bytes, k)
     s_dim = a.shape[0]
     L = block_size
     powers = onp.empty((L, s_dim, s_dim))
@@ -216,6 +229,42 @@ def _blocked_operators_static(sos_bytes, k, block_size):
     g = v[::-1].copy()
     w = onp.einsum("i,tij->tj", c, powers)
     return t_mat, g, w, al
+
+
+@functools.lru_cache(maxsize=256)
+def _rem_operators_static(sos_bytes, k, rem):
+    """Final-state operators for a partial last block (static coefficients).
+
+    The state after only ``rem`` valid samples of a block is the affine map
+    ``s_final = A^rem s_in + Σ_{j<rem} A^{rem-1-j} B x[j]`` — i.e. one tiny
+    matvec plus one ``(rem,)·(rem, S)`` contraction, replacing the
+    ``rem``-step ``lax.scan`` tail that used to dominate streamed-chunk
+    state finalization (~500 sequential steps per filter per chunk).
+    Returns ``(a_rem (S, S), g_rem (rem, S))`` in float64.
+    """
+    import numpy as onp
+
+    sos = onp.frombuffer(sos_bytes, dtype=onp.float64).reshape(k, 6)
+    t_mat, g, w, al = _blocked_operators_static(sos_bytes, k, max(rem, 1))
+    # reuse the length-rem operator build: G of block length rem IS
+    # Σ A^{rem-1-j} B laid out per position, and AL of length rem is A^rem.
+    return al, g
+
+
+def _final_state_static(s_in_last, x_last, static_sos, rem, dtype):
+    """Affine final-state update through ``rem`` valid samples (static).
+
+    ``s_in_last``: ``(S,)`` or ``(S, C)``; ``x_last``: ``(rem,)`` or
+    ``(C, rem)`` — the valid samples of the partial last block.
+    """
+    a_rem, g_rem = _rem_operators_static(
+        static_sos.astype("float64").tobytes(), static_sos.shape[0], rem)
+    a_rem = jnp.asarray(a_rem, dtype)
+    g_rem = jnp.asarray(g_rem, dtype)
+    drive = jnp.einsum("...t,ti->i..." if x_last.ndim == 2 else "t,ti->i",
+                       x_last, g_rem, precision=_HIGHEST)
+    return jnp.einsum("ij,j...->i...", a_rem, s_in_last,
+                      precision=_HIGHEST) + drive
 
 
 @functools.lru_cache(maxsize=64)
@@ -324,6 +373,28 @@ def _boundary_states_static(t_vec, s0, static_sos, L, nb, al, dtype):
     return s_in, s_last
 
 
+def _boundary_states_traced(t_vec, s0, al):
+    """Boundary-state recurrence for traced coefficients: log-depth matrix
+    associative scan (AL is a traced array, so the two-level static-operator
+    scheme is unavailable).  Returns ``(s_in (nb, S), s_last (S,))``."""
+    nb, s_dim = t_vec.shape
+    mats = jnp.broadcast_to(al, (nb, s_dim, s_dim))
+
+    def combine(left, right):
+        m1, u1 = left
+        m2, u2 = right
+        return (jnp.einsum("...ij,...jk->...ik", m2, m1,
+                           precision=_HIGHEST),
+                jnp.einsum("...ij,...j->...i", m2, u1,
+                           precision=_HIGHEST) + u2)
+
+    pmat, pvec = jax.lax.associative_scan(combine, (mats, t_vec))
+    s_after = jnp.einsum("bij,j->bi", pmat, s0,
+                         precision=_HIGHEST) + pvec  # (B, S)
+    s_in = jnp.concatenate([s0[None], s_after[:-1]], axis=0)
+    return s_in, s_after[-1]
+
+
 def _sosfilt_blocked_1ch(sos, x, s0, block_size, return_state, static_sos=None):
     n = x.shape[0]
     L = block_size
@@ -338,7 +409,6 @@ def _sosfilt_blocked_1ch(sos, x, s0, block_size, return_state, static_sos=None):
         t_mat, g, w, al = [jnp.asarray(o, x.dtype) for o in ops]
     else:
         t_mat, g, w, al = _blocked_operators(sos, L)
-    s_dim = al.shape[0]
 
     # ONE dot against [T | G]: zero-state outputs and end-state summaries in
     # a single MXU pass, so the blocks are read from HBM once, not twice
@@ -353,19 +423,7 @@ def _sosfilt_blocked_1ch(sos, x, s0, block_size, return_state, static_sos=None):
         s_in, s_last = _boundary_states_static(
             t_vec, s0, static_sos, L, nb, al, x.dtype)
     else:
-        mats = jnp.broadcast_to(al, (nb, s_dim, s_dim))
-        def combine(left, right):
-            m1, u1 = left
-            m2, u2 = right
-            return (jnp.einsum("...ij,...jk->...ik", m2, m1,
-                               precision=_HIGHEST),
-                    jnp.einsum("...ij,...j->...i", m2, u1,
-                               precision=_HIGHEST) + u2)
-        pmat, pvec = jax.lax.associative_scan(combine, (mats, t_vec))
-        s_after = jnp.einsum("bij,j->bi", pmat, s0,
-                             precision=_HIGHEST) + pvec  # (B, S)
-        s_in = jnp.concatenate([s0[None], s_after[:-1]], axis=0)
-        s_last = s_after[-1]
+        s_in, s_last = _boundary_states_traced(t_vec, s0, al)
 
     y = y0 + jnp.dot(s_in, w.T, precision=_HIGHEST)
     y = y.reshape(nb * L)[:n]
@@ -379,12 +437,17 @@ def _sosfilt_blocked_1ch(sos, x, s0, block_size, return_state, static_sos=None):
         # Evolve the last block's incoming state through its valid samples
         # only (padded zeros must not advance the state).  rem is static.
         rem = n - (nb - 1) * L
-        a, b, _, _ = cascade_state_space(sos)
+        if static_sos is not None:
+            s_final = _final_state_static(s_in[-1], xb[-1, :rem],
+                                          static_sos, rem, x.dtype)
+        else:
+            a, b, _, _ = cascade_state_space(sos)
 
-        def step(s, x_t):
-            return jnp.einsum("ij,j->i", a, s, precision=_HIGHEST) + b * x_t, None
+            def step(s, x_t):
+                return (jnp.einsum("ij,j->i", a, s, precision=_HIGHEST)
+                        + b * x_t, None)
 
-        s_final, _ = jax.lax.scan(step, s_in[-1], xb[-1, :rem])
+            s_final, _ = jax.lax.scan(step, s_in[-1], xb[-1, :rem])
     return y, s_final
 
 
@@ -487,6 +550,167 @@ def sosfilt_blocked_multi(sos_list, x, zi_list=None, block_size=512,
     return tuple(outs), tuple(zfs)
 
 
+# ---------------------------------------------------------------------------
+# Channel-major (folded-rows) execution — the layout the MXU wants
+# ---------------------------------------------------------------------------
+#
+# The (N, C) vmap-over-channels formulation above lowers to *batched* 3-D
+# dots whose batch dimension XLA places in a layout the MXU cannot feed
+# directly: the compiled HLO carries ~128 MB physical-transpose copies of
+# every (C, nb, L+S) dot result, and the combined [T | G] operand forces the
+# full (nb, L+S) product to be materialized and re-sliced.  Measured on the
+# bench chip, one crossover pass costs ~12 full-signal HBM passes this way.
+#
+# The channel-major form eliminates both: with ``xT`` laid out ``(C, N)``,
+# the block view ``(C·nb, L)`` is a FREE reshape, every dot is a plain 2-D
+# matmul in canonical layout, and the two dots are split so nothing wider
+# than the signal is ever materialized:
+#
+#   t_vec = rows @ G                     (read x once;  write (C·nb, S) — tiny)
+#   s_in  = boundary recurrence(t_vec)   (control-rate, tiny)
+#   y     = rows @ T + s_in @ W.T        (read x once;  write y once — the
+#                                         add fuses into the dot epilogue)
+#
+# → 3 full-signal HBM passes per filter pass, independent of C and F (multi-
+# filter runs share the reads).  Numerically identical to the vmap form:
+# the per-row contractions are the same sums in the same order.
+
+
+def _blocked_cm_run(ops, statics, xT, s0s, L, return_state, sos_list=None):
+    """Core channel-major blocked runner: F filters over one rows view.
+
+    Args:
+      ops: per-filter ``(t_mat, g, w, al)`` operator tuples (jnp, xT.dtype).
+      statics: per-filter float64 numpy sos, or None for traced coefficients.
+      xT: ``(C, N)`` channel-major signal.
+      s0s: per-filter ``(S_f, C)`` cascade states.
+      sos_list: per-filter ``(K, 6)`` coefficient arrays (traced OK) — used
+        only to evolve the final state through a partial last block.
+
+    Returns ``(ysT, s_finals)``: per-filter ``(C, N)`` outputs and final
+    cascade states ``(S_f, C)``.
+    """
+    c, n = xT.shape
+    nb = -(-n // L)
+    pad = nb * L - n
+    rows = jnp.pad(xT, ((0, 0), (0, pad))).reshape(c * nb, L)
+
+    # one shared read of the signal for every filter's state summaries
+    g_cat = jnp.concatenate([g for (_, g, _, _) in ops], axis=1)
+    tv_cat = jnp.dot(rows, g_cat, precision=_HIGHEST)  # (C·nb, ΣS_f)
+
+    ysT, s_finals = [], []
+    col = 0
+    for f, (t_mat, g, w, al) in enumerate(ops):
+        s_dim = al.shape[0]
+        tv = tv_cat[:, col: col + s_dim].reshape(c, nb, s_dim)
+        col += s_dim
+        if statics[f] is not None:
+            s_in, s_last = jax.vmap(
+                lambda tvc, s0c, _st=statics[f], _al=al: _boundary_states_static(
+                    tvc, s0c, _st, L, nb, _al, xT.dtype),
+                in_axes=(0, 1), out_axes=(0, 1))(tv, s0s[f])
+        else:
+            s_in, s_last = jax.vmap(
+                lambda tvc, s0c, _al=al: _boundary_states_traced(
+                    tvc, s0c, _al),
+                in_axes=(0, 1), out_axes=(0, 1))(tv, s0s[f])
+        # s_in: (C, nb, S); s_last: (S, C)
+        y = jnp.dot(rows, t_mat, precision=_HIGHEST) + \
+            jnp.dot(s_in.reshape(c * nb, s_dim), w.T, precision=_HIGHEST)
+        ysT.append(y.reshape(c, nb * L)[:, :n])
+
+        if not return_state:
+            s_finals.append(s0s[f])
+        elif pad == 0:
+            s_finals.append(s_last)
+        else:
+            # evolve the last block's incoming state through its valid
+            # samples only (padded zeros must not advance the state)
+            rem = n - (nb - 1) * L
+            if statics[f] is not None:
+                sos_f = jnp.asarray(statics[f], xT.dtype)
+            else:
+                sos_f = sos_list[f]
+            a, b, _, _ = cascade_state_space(sos_f)
+            x_last = rows.reshape(c, nb, L)[:, -1, :rem]  # (C, rem)
+
+            def step(s, x_t, _a=a, _b=b):
+                return jnp.einsum("ij,j->i", _a, s,
+                                  precision=_HIGHEST) + _b * x_t, None
+
+            s_f = jax.vmap(
+                lambda s0c, xc: jax.lax.scan(step, s0c, xc)[0],
+                in_axes=(1, 0), out_axes=1)(s_in[:, -1].T, x_last)
+            s_finals.append(s_f)
+    return ysT, s_finals
+
+
+def _cm_states(sos_shapes, zi_list, c, dtype):
+    s0s = []
+    for f, k in enumerate(sos_shapes):
+        if zi_list is None or zi_list[f] is None:
+            s0s.append(jnp.zeros((2 * k, c), dtype=dtype))
+        else:
+            zi = jnp.asarray(zi_list[f], dtype=dtype)
+            if zi.ndim == 2:
+                zi = zi[:, :, None]
+            s0s.append(zi_to_state(zi))
+    return s0s
+
+
+def sosfilt_blocked_multi_cm(sos_list, xT, zi_list=None, block_size=512,
+                             return_state=True):
+    """F static SOS cascades over one ``(C, N)`` channel-major signal.
+
+    The channel-major counterpart of :func:`sosfilt_blocked_multi` — same
+    contract (scipy-layout ``(K, 2, C)`` states), but inputs/outputs are
+    ``(C, N)`` and the execution is the 3-pass folded-rows form (see the
+    section comment above).  Coefficients must be concrete host arrays.
+    """
+    c, n = xT.shape
+    statics = [np.asarray(s, np.float64) for s in sos_list]
+    L = min(block_size, max(8, n))
+    ops = []
+    for s in statics:
+        o = _blocked_operators_static(s.tobytes(), s.shape[0], L)
+        ops.append(tuple(jnp.asarray(m, xT.dtype) for m in o))
+    s0s = _cm_states([s.shape[0] for s in statics], zi_list, c, xT.dtype)
+    ysT, s_ts = _blocked_cm_run(ops, statics, xT, s0s, L, return_state)
+    zfs = [state_to_zi(s_t, statics[f].shape[0])
+           for f, s_t in enumerate(s_ts)]
+    return tuple(ysT), tuple(zfs)
+
+
+def sosfilt_blocked_cm(sos, xT, zi=None, block_size=512, return_state=True):
+    """Single-cascade channel-major blocked filter (``(C, N)`` in and out).
+
+    Supports traced coefficients (the EQ path): the operators are then built
+    in-graph with the float32 associative matrix-power scan, exactly like
+    :func:`sosfilt_blocked`.
+    """
+    c, n = xT.shape
+    static_sos = None
+    if isinstance(sos, np.ndarray):
+        static_sos = np.asarray(sos, np.float64)
+    elif isinstance(sos, jax.Array) and not isinstance(sos, jax.core.Tracer):
+        static_sos = np.asarray(sos, np.float64)
+    L = min(block_size, max(8, n))
+    if static_sos is not None:
+        o = _blocked_operators_static(static_sos.tobytes(),
+                                      static_sos.shape[0], L)
+        ops = [tuple(jnp.asarray(m, xT.dtype) for m in o)]
+        k = static_sos.shape[0]
+    else:
+        sos = _as_sos(sos, xT.dtype)
+        ops = [_blocked_operators(sos, L)]
+        k = sos.shape[0]
+    s0s = _cm_states([k], None if zi is None else [zi], c, xT.dtype)
+    ysT, s_ts = _blocked_cm_run(ops, [static_sos], xT, s0s, L, return_state,
+                                sos_list=[sos])
+    return ysT[0], state_to_zi(s_ts[0], k)
+
+
 def sosfilt_blocked(sos, x, zi=None, block_size=512, return_state=True):
     """Blocked MXU execution of an SOS cascade (see module docstring).
 
@@ -526,6 +750,73 @@ def sosfilt_blocked(sos, x, zi=None, block_size=512, return_state=True):
     return y_t, zf
 
 
+@functools.lru_cache(maxsize=128)
+def _sharded_operators_static(sos_bytes, k, L, nb, n):
+    """Host-side float64 operators for the static sharded correction pass.
+
+    Returns ``(A^n, A^{bL} for b < nb, W)``: the shard transition matrix,
+    the per-block powers of the block transition matrix, and the
+    state-correction rows ``W[t] = C A^t``.
+    """
+    import numpy as onp
+
+    a, _, _, _ = _state_space_static(sos_bytes, k)
+    _, _, w, al = _blocked_operators_static(sos_bytes, k, L)
+    a_shard = onp.linalg.matrix_power(a, n)
+    s_dim = a.shape[0]
+    al_pows = onp.empty((nb, s_dim, s_dim))
+    al_pows[0] = onp.eye(s_dim)
+    for bi in range(1, nb):
+        al_pows[bi] = al @ al_pows[bi - 1]
+    return a_shard, al_pows, w
+
+
+def _sosfilt_sharded_static(static_sos, x_shard, axis_name, zi, block_size):
+    """Static-coefficient body of :func:`sosfilt_sharded` (``(n, C)`` in)."""
+    n, c = x_shard.shape
+    k = static_sos.shape[0]
+    s_dim = 2 * k
+    dt = x_shard.dtype
+    L = min(block_size, max(8, n))
+    nb = -(-n // L)
+    a_shard_np, al_pows_np, w_np = _sharded_operators_static(
+        static_sos.tobytes(), k, L, nb, n)
+    a_shard = jnp.asarray(a_shard_np, dt)
+    al_pows = jnp.asarray(al_pows_np, dt)
+    w = jnp.asarray(w_np, dt)
+
+    # local zero-state pass (per channel): static blocked operators; the
+    # final state is evolved through the valid samples only
+    run = functools.partial(_sosfilt_blocked_1ch, None, block_size=L,
+                            return_state=True, static_sos=static_sos)
+    s0_zero = jnp.zeros((s_dim, c), dtype=dt)
+    y0, t_local = jax.vmap(run, in_axes=(1, 1), out_axes=(1, 1))(
+        x_shard, s0_zero)
+
+    d = jax.lax.axis_size(axis_name)
+    idx = jax.lax.axis_index(axis_name)
+    t_all = jax.lax.all_gather(t_local, axis_name)  # (D, S, C)
+
+    if zi is not None:
+        zi = jnp.asarray(zi, dtype=dt)
+        if zi.ndim == 2:
+            zi = zi[:, :, None]
+        s_acc = jnp.broadcast_to(zi_to_state(zi), (s_dim, c))
+    else:
+        s_acc = jnp.zeros((s_dim, c), dtype=dt)
+    s_in = s_acc
+    for j in range(d):
+        s_in = jnp.where(idx == j, s_acc, s_in)
+        s_acc = jnp.einsum("ij,jc->ic", a_shard, s_acc,
+                           precision=_HIGHEST) + t_all[j]
+
+    s_in_blocks = jnp.einsum("bij,jc->bic", al_pows, s_in,
+                             precision=_HIGHEST)  # (nb, S, C)
+    y_corr = jnp.einsum("ts,bsc->btc", w, s_in_blocks, precision=_HIGHEST)
+    y_corr = y_corr.reshape(nb * L, c)[:n]
+    return y0 + y_corr, state_to_zi(s_acc, k)
+
+
 def sosfilt_sharded(sos, x_shard, axis_name, zi=None, block_size=512):
     """Blocked SOS filtering of a frames-sharded signal inside ``shard_map``.
 
@@ -546,11 +837,33 @@ def sosfilt_sharded(sos, x_shard, axis_name, zi=None, block_size=512):
 
     Returns ``(y_shard, zf_global)`` where ``zf_global`` is the filter state
     after the LAST device's shard (replicated).
+
+    Concrete (non-traced) coefficients — the crossovers and the K-filter —
+    take a fully static path: every operator (``A^n``, the per-block
+    ``A^{bL}`` powers, ``W``) is built host-side in float64 numpy and enters
+    the graph as a plain constant.  Building them *in-graph* from constants
+    makes XLA constant-fold L-step matrix scans at compile time, which took
+    minutes per filter on the real TPU backend (measured: 183 s compile for
+    the K-weighting cascade on a 60 s shard).
     """
     squeeze = x_shard.ndim == 1
     if squeeze:
         x_shard = x_shard[:, None]
     n, c = x_shard.shape
+
+    static_sos = None
+    if isinstance(sos, np.ndarray):
+        static_sos = np.asarray(sos, np.float64)
+    elif isinstance(sos, jax.Array) and not isinstance(sos, jax.core.Tracer):
+        static_sos = np.asarray(sos, np.float64)
+    if static_sos is not None:
+        y, zf = _sosfilt_sharded_static(static_sos, x_shard, axis_name, zi,
+                                        block_size)
+        if squeeze:
+            y = y[:, 0]
+            zf = zf[:, :, 0]
+        return y, zf
+
     sos = _as_sos(sos, x_shard.dtype)
     k = sos.shape[0]
     s_dim = 2 * k

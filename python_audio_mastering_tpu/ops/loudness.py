@@ -33,8 +33,10 @@ from python_audio_mastering_tpu.ops import iir
 __all__ = [
     "kweight_sos",
     "integrated_loudness",
+    "integrated_loudness_cm",
     "normalize_to_lufs",
     "block_cell_energies",
+    "block_cell_energies_cm",
     "loudness_from_cells",
     "BlockEnergyAccumulator",
 ]
@@ -100,6 +102,44 @@ def block_cell_energies(x, sample_rate, zi=None, filter_method="auto"):
     return cell_ms, zf
 
 
+def block_cell_energies_cm(xT, sample_rate, zi=None, valid_frames=None):
+    """Channel-major :func:`block_cell_energies`: ``xT`` is ``(C, N)``.
+
+    The K-filter runs in the folded-rows blocked form
+    (:func:`~python_audio_mastering_tpu.ops.iir.sosfilt_blocked_cm`) and the
+    cell reduction happens along the minor (time) axis — no transposes, no
+    batched-dot layout copies.  ``valid_frames`` marks trailing padded
+    samples; cells extending past it are dropped via the returned mask.
+
+    Returns ``(cell_ms (num_cells, C), cell_mask or None, zf)``.
+    """
+    cell, _ = _gating_geometry(sample_rate)
+    n = xT.shape[1]
+    if n >= 4 * 512:
+        kx, zf = iir.sosfilt_blocked_cm(kweight_sos(sample_rate), xT, zi=zi)
+    else:
+        y, zf = iir.sosfilt_scan(
+            jnp.asarray(kweight_sos(sample_rate), xT.dtype), xT.T, zi=zi)
+        kx = y.T
+    n_cells = n // cell
+    z = kx[:, : n_cells * cell] ** 2
+    cell_ms = z.reshape(xT.shape[0], n_cells, cell).mean(axis=2).T
+    cell_mask = None
+    if valid_frames is not None:
+        cell_mask = jnp.arange(n_cells) < (valid_frames // cell)
+    return cell_ms, cell_mask, zf
+
+
+def integrated_loudness_cm(xT, sample_rate, downmix="bs1770",
+                           valid_frames=None):
+    """Channel-major :func:`integrated_loudness` (``xT`` is ``(C, N)``)."""
+    if xT.ndim == 2 and downmix == "reference_mono_mean":
+        xT = xT.mean(axis=0, keepdims=True)
+    cell_ms, cell_mask, _ = block_cell_energies_cm(
+        xT, sample_rate, valid_frames=valid_frames)
+    return loudness_from_cells(cell_ms, cell_mask=cell_mask)
+
+
 def loudness_from_cells(cell_ms, weights=None, cell_mask=None):
     """Gated integrated loudness from 100 ms cell energies.
 
@@ -161,15 +201,21 @@ def integrated_loudness(x, sample_rate, downmix="bs1770", filter_method="auto",
 
 
 def normalize_to_lufs(x, sample_rate, target_lufs=-14.0, downmix="reference_mono_mean",
-                      filter_method="auto", valid_frames=None):
+                      filter_method="auto", valid_frames=None,
+                      channel_major=False):
     """Measure + linear gain to hit ``target_lufs`` (engine:212-222).
 
     Like the reference: single-pass gain, no re-measure, no clip guard (the
     chain's limiter follows).  Returns ``(y, measured_lufs, gain_linear)``.
+    ``channel_major=True`` treats ``x`` as ``(C, N)``.
     """
-    loudness = integrated_loudness(x, sample_rate, downmix=downmix,
-                                   filter_method=filter_method,
-                                   valid_frames=valid_frames)
+    if channel_major:
+        loudness = integrated_loudness_cm(x, sample_rate, downmix=downmix,
+                                          valid_frames=valid_frames)
+    else:
+        loudness = integrated_loudness(x, sample_rate, downmix=downmix,
+                                       filter_method=filter_method,
+                                       valid_frames=valid_frames)
     gain_db = jnp.asarray(target_lufs, dtype=x.dtype) - loudness
     gain = 10.0 ** (gain_db / 20.0)
     # A silent/gated-out input measures -inf → infinite gain; pass through

@@ -112,7 +112,7 @@ def detector_lookpad(sample_rate, hop=1):
 
 
 def detector_stats_fused(x, low, high, sample_rate, thresholds_db, ratios,
-                         hop=1, ctrl_tail=None):
+                         hop=1, ctrl_tail=None, channel_major=False):
     """Detector stats for the worker split WITHOUT materializing the mid
     band — the HBM-lean formulation (VERDICT r2 #2).
 
@@ -133,7 +133,8 @@ def detector_stats_fused(x, low, high, sample_rate, thresholds_db, ratios,
     """
     from python_audio_mastering_tpu.ops.compressor import cumsum_mxu
 
-    n = x.shape[0]
+    time_ax = 1 if channel_major else 0
+    n = x.shape[time_ax]
     dt = x.dtype
     t = -(-n // hop)
     attacks = tuple(a for a, _ in BAND_BALLISTICS_MS)
@@ -141,7 +142,7 @@ def detector_stats_fused(x, low, high, sample_rate, thresholds_db, ratios,
     look_ctrl = detector_lookpad(sample_rate, hop) // hop
 
     mid = x - low - high  # fused into the reduction; never an output
-    rows = [(b * b).mean(axis=1) for b in (low, mid, high)]
+    rows = [(b * b).mean(axis=1 - time_ax) for b in (low, mid, high)]
     if hop == 1:
         xb = jnp.stack(rows)  # (3, t), t == n
     else:
@@ -204,7 +205,7 @@ def multiband_compress(x, sample_rate, thresholds_db, ratios, variant="worker",
                        low_crossover=250.0, high_crossover=4000.0,
                        filter_method="auto", hop=1, block_ctrl=None,
                        overlap_ctrl=None, state=None, return_state=False,
-                       ballistics="auto"):
+                       ballistics="auto", channel_major=False):
     """Full 3-band compressor.
 
     Args:
@@ -222,10 +223,17 @@ def multiband_compress(x, sample_rate, thresholds_db, ratios, variant="worker",
 
     Returns ``y`` ``(N, C)``, or ``(y, new_state)`` if ``return_state``.
     """
-    squeeze = x.ndim == 1
-    if squeeze:
-        x = x[:, None]
-    n, c = x.shape
+    if channel_major:
+        # x is (C, N).  The fused worker path runs natively channel-major;
+        # everything else (legacy variant, scan fallback, sample-tail
+        # resume) round-trips through the (N, C) layout.
+        squeeze = False
+        c, n = x.shape
+    else:
+        squeeze = x.ndim == 1
+        if squeeze:
+            x = x[:, None]
+        n, c = x.shape
     state = state or {}
     blocked = filter_method == "blocked" or (
         filter_method == "auto" and n >= 4 * 512)
@@ -237,16 +245,32 @@ def multiband_compress(x, sample_rate, thresholds_db, ratios, variant="worker",
     fused = (variant == "worker" and blocked
              and state.get("tail") is None)
 
+    if channel_major and not fused:
+        y = multiband_compress(
+            x.T, sample_rate, thresholds_db, ratios, variant=variant,
+            low_crossover=low_crossover, high_crossover=high_crossover,
+            filter_method=filter_method, hop=hop, block_ctrl=block_ctrl,
+            overlap_ctrl=overlap_ctrl, state=state,
+            return_state=return_state, ballistics=ballistics)
+        if return_state:
+            y, st = y
+            return y.T, st
+        return y.T
+
     if fused:
         lp_sos, hp_sos = _crossover_sos(sample_rate, low_crossover,
                                         high_crossover)
         zi = state.get("crossover") or {}
-        (low, high), (z_lp, z_hp) = iir.sosfilt_blocked_multi(
-            (lp_sos, hp_sos), x, (zi.get("lp"), zi.get("hp")))
+        if channel_major:
+            (low, high), (z_lp, z_hp) = iir.sosfilt_blocked_multi_cm(
+                (lp_sos, hp_sos), x, (zi.get("lp"), zi.get("hp")))
+        else:
+            (low, high), (z_lp, z_hp) = iir.sosfilt_blocked_multi(
+                (lp_sos, hp_sos), x, (zi.get("lp"), zi.get("hp")))
         zf = {"lp": z_lp, "hp": z_hp}
         stacked, new_ctrl_tail = detector_stats_fused(
             x, low, high, sample_rate, thresholds_db, ratios, hop=hop,
-            ctrl_tail=state.get("ctrl_tail"))
+            ctrl_tail=state.get("ctrl_tail"), channel_major=channel_major)
     else:
         bands, zf = _crossover_bands(x, sample_rate, variant=variant,
                                      low_crossover=low_crossover,
@@ -297,7 +321,7 @@ def multiband_compress(x, sample_rate, thresholds_db, ratios, variant="worker",
         g = col
         if hop > 1:
             g = jnp.repeat(g, hop, axis=0)[:n]
-        return g[:, None]
+        return g[None, :] if channel_major else g[:, None]
 
     if fused:
         # y = Σ band·gain with mid = x − low − high folded in algebraically:

@@ -260,8 +260,10 @@ def _chain_shard(x, params, n_valid, config: ChainConfig, axis: str,
     x = stereo_width(x, params.width)
 
     if params.multiband:
-        lp = jnp.asarray(butter_sos(4, 250.0, "lowpass", fs=fs), x.dtype)
-        hp = jnp.asarray(butter_sos(4, 4000.0, "highpass", fs=fs), x.dtype)
+        # concrete numpy coefficients → sosfilt_sharded's static path
+        # (host-built float64 operators; no in-graph constant folding)
+        lp = np.asarray(butter_sos(4, 250.0, "lowpass", fs=fs), np.float64)
+        hp = np.asarray(butter_sos(4, 4000.0, "highpass", fs=fs), np.float64)
         low, _ = run_iir(lp, x)
         high, _ = run_iir(hp, x)
         mid = x - low - high
@@ -296,8 +298,7 @@ def _chain_shard(x, params, n_valid, config: ChainConfig, axis: str,
     if params.lufs_enabled or want_meters:
         meter = x.mean(axis=1, keepdims=True) \
             if config.measure_downmix == "reference_mono_mean" else x
-        kw = jnp.asarray(kweight_sos(fs), x.dtype)
-        kx, _ = run_iir(kw, meter)
+        kx, _ = run_iir(np.asarray(kweight_sos(fs), np.float64), meter)
         cell = int(round(0.1 * fs))
         n_cells = kx.shape[0] // cell
         cells = (kx[: n_cells * cell] ** 2).reshape(n_cells, cell, -1).mean(axis=1)
@@ -349,6 +350,44 @@ def _chain_shard(x, params, n_valid, config: ChainConfig, axis: str,
     return x, measured, gain_db, all_cells * (gain ** 2), tp
 
 
+@functools.lru_cache(maxsize=64)
+def _track_sharded_fn(mesh, axis, config, sp_ballistics, want_meters):
+    """Cached jitted shard_map chain: one compile per (mesh, config, flags).
+
+    Building a fresh ``jax.jit(shard_map(partial(...)))`` per call defeats
+    jit's C++ cache (the partial's identity differs every time), which on
+    the real TPU backend meant a full recompile on EVERY
+    ``master_track_sharded`` call (~35 s each, measured).
+    """
+    out_specs = (P(axis, None), P(), P())
+    if want_meters:
+        out_specs = out_specs + (P(), P())
+    return jax.jit(
+        jax.shard_map(
+            functools.partial(_chain_shard, config=config, axis=axis,
+                              sp_ballistics=sp_ballistics,
+                              want_meters=want_meters),
+            mesh=mesh, in_specs=(P(axis, None), P(), P()),
+            out_specs=out_specs, check_vma=False),
+    )
+
+
+@functools.lru_cache(maxsize=64)
+def _album_sharded_fn(mesh, taxis, saxis, config, sp_ballistics):
+    """Cached jitted 2-D (tracks x frames) shard_map chain (see above)."""
+
+    def block(xb, pb, nv):
+        run = functools.partial(_chain_shard, config=config, axis=saxis,
+                                sp_ballistics=sp_ballistics)
+        return jax.vmap(run)(xb, pb, nv)
+
+    return jax.jit(jax.shard_map(
+        block, mesh=mesh,
+        in_specs=(P(taxis, saxis, None), P(taxis), P(taxis)),
+        out_specs=(P(taxis, saxis, None), P(taxis), P(taxis)),
+        check_vma=False))
+
+
 def master_track_sharded(audio, params: MasteringParams, config: ChainConfig,
                          mesh=None, axis: str = "seq",
                          sp_ballistics: str = "approx",
@@ -384,17 +423,7 @@ def master_track_sharded(audio, params: MasteringParams, config: ChainConfig,
     x = np.concatenate([np.asarray(audio),
                         np.zeros((n_pad - n, c), np.asarray(audio).dtype)])
 
-    out_specs = (P(axis, None), P(), P())
-    if return_meters:
-        out_specs = out_specs + (P(), P())
-    fn = jax.jit(
-        jax.shard_map(
-            functools.partial(_chain_shard, config=config, axis=axis,
-                              sp_ballistics=sp_ballistics,
-                              want_meters=return_meters),
-            mesh=mesh, in_specs=(P(axis, None), P(), P()),
-            out_specs=out_specs, check_vma=False),
-    )
+    fn = _track_sharded_fn(mesh, axis, config, sp_ballistics, return_meters)
     x_dev = jax.device_put(
         jnp.asarray(x, config.jnp_dtype()),
         NamedSharding(mesh, P(axis, None)))
@@ -477,16 +506,7 @@ def master_album_sharded(tracks, params, config: ChainConfig, mesh=None,
          jnp.zeros((batch.shape[0] - t0,), lengths_dev.dtype)]) \
         if batch.shape[0] != t0 else lengths_dev
 
-    def block(xb, pb, nv):
-        run = functools.partial(_chain_shard, config=config, axis=saxis,
-                                sp_ballistics=sp_ballistics)
-        return jax.vmap(run)(xb, pb, nv)
-
-    fn = jax.jit(jax.shard_map(
-        block, mesh=mesh,
-        in_specs=(P(taxis, saxis, None), P(taxis), P(taxis)),
-        out_specs=(P(taxis, saxis, None), P(taxis), P(taxis)),
-        check_vma=False))
+    fn = _album_sharded_fn(mesh, taxis, saxis, config, sp_ballistics)
     x_dev = jax.device_put(jnp.asarray(batch, config.jnp_dtype()),
                            NamedSharding(mesh, P(taxis, saxis, None)))
     y, measured, _ = fn(x_dev, stacked, n_valid)

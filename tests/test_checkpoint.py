@@ -126,8 +126,13 @@ def test_album_segment_checkpoints_every_n(tmp_path):
     assert [os.path.basename(f) for f in files] == ["chunk_00001.pkl",
                                                     "chunk_00002.pkl"]
 
-    # interrupted run saves only the complete segment (chunks 0-1); resume
-    # replays it and recomputes the rest, matching the uninterrupted result
+    # interrupt mid-segment: with 5 chunks and every-2 segments, stopping
+    # after chunk 3 leaves chunk 2's segment incomplete (never submitted),
+    # so only chunks 0-1 are durable; resume replays the whole segment and
+    # recomputes the rest, matching the uninterrupted result
+    tracks5 = [make_signal(int(FS * 2.0), fs=FS, seed=s) * 0.4 for s in (5, 6)]
+    full5, m_full5 = pbatch.master_album_streamed(tracks5, params, cfg,
+                                                  chunk_seconds=0.4)
     ckpt2 = str(tmp_path / "seg2")
 
     class Stop(Exception):
@@ -138,7 +143,7 @@ def test_album_segment_checkpoints_every_n(tmp_path):
             raise Stop()
 
     try:
-        pbatch.master_album_streamed(tracks, params, cfg, chunk_seconds=0.4,
+        pbatch.master_album_streamed(tracks5, params, cfg, chunk_seconds=0.4,
                                      progress_cb=interrupt,
                                      checkpoint_dir=ckpt2,
                                      checkpoint_every=2)
@@ -146,9 +151,9 @@ def test_album_segment_checkpoints_every_n(tmp_path):
         pass
     msgs = []
     outs, measured = pbatch.master_album_streamed(
-        tracks, params, cfg, chunk_seconds=0.4, progress_cb=msgs.append,
+        tracks5, params, cfg, chunk_seconds=0.4, progress_cb=msgs.append,
         checkpoint_dir=ckpt2, checkpoint_every=2)
     assert any(m.startswith("Resuming from checkpoint: 2/") for m in msgs)
     for i in range(2):
-        np.testing.assert_allclose(outs[i], full[i], rtol=1e-12, atol=1e-14)
-        assert abs(measured[i] - m_full[i]) < 1e-12
+        np.testing.assert_allclose(outs[i], full5[i], rtol=1e-12, atol=1e-14)
+        assert abs(measured[i] - m_full5[i]) < 1e-12
