@@ -332,10 +332,15 @@ def _blocked_operators(sos, block_size):
     v = jnp.einsum("tij,j->ti", powers, b, precision=_HIGHEST)  # v[t] = A^t B
     h = jnp.concatenate([d[None], jnp.einsum("ti,i->t", v[: L - 1], c,
                                              precision=_HIGHEST)])  # impulse response
-    # T[j, i] = h[i - j] for i >= j (causal Toeplitz, applied as xb @ T)
-    ii = jnp.arange(L)
-    idx = ii[None, :] - ii[:, None]
-    t_mat = jnp.where(idx >= 0, h[jnp.clip(idx, 0, L - 1)], 0.0)
+    # T[j, i] = h[i - j] for i >= j (causal Toeplitz, applied as xb @ T).
+    # Rows are built with the stride-(2L-1) tile trick instead of a gather:
+    # with c = [h | 0_L], tile(c, L)[: L·(2L-1)] reshaped (L, 2L-1) puts
+    # roll(c, j) in row j (offset −j mod 2L), whose first L entries are
+    # exactly h[i−j]·[i ≥ j].  A (L, L) gather from h measured 2.1 ms per
+    # chain call on the bench chip; this is pure tile/reshape/slice and
+    # fuses to noise.
+    hc = jnp.concatenate([h, jnp.zeros((L,), h.dtype)])
+    t_mat = jnp.tile(hc, L)[: L * (2 * L - 1)].reshape(L, 2 * L - 1)[:, :L]
     g = v[::-1]  # G[j] = A^{L-1-j} B
     w = jnp.einsum("i,tij->tj", c, powers, precision=_HIGHEST)  # W[t] = C A^t
     return t_mat, g, w, al
@@ -374,25 +379,56 @@ def _boundary_states_static(t_vec, s0, static_sos, L, nb, al, dtype):
 
 
 def _boundary_states_traced(t_vec, s0, al):
-    """Boundary-state recurrence for traced coefficients: log-depth matrix
-    associative scan (AL is a traced array, so the two-level static-operator
-    scheme is unavailable).  Returns ``(s_in (nb, S), s_last (S,))``."""
+    """Boundary-state recurrence for traced coefficients.
+
+    Same two-level superblock scheme as :func:`_boundary_states_static`
+    (cumulative within-superblock contributions as ONE MXU matmul against a
+    block-Toeplitz of AL powers, plus a short superblock-handoff scan) —
+    but with the operators built *in-graph* from the traced ``al``.  The
+    AL powers come from a length-M associative scan (M = 128, vs nb ≈ 15k
+    for a 3-min track — the old full-length log-depth matrix scan cost
+    ~1.9 ms of 8×8-matmul relayout traffic per EQ pass on the bench chip),
+    and the block-Toeplitz is assembled with the stride-(2M−1) tile trick
+    (no gather).  Returns ``(s_in (nb, S), s_last (S,))``.
+    """
     nb, s_dim = t_vec.shape
-    mats = jnp.broadcast_to(al, (nb, s_dim, s_dim))
+    m_grp = 128 if nb >= 128 else max(1, nb)
 
-    def combine(left, right):
-        m1, u1 = left
-        m2, u2 = right
-        return (jnp.einsum("...ij,...jk->...ik", m2, m1,
-                           precision=_HIGHEST),
-                jnp.einsum("...ij,...j->...i", m2, u1,
-                           precision=_HIGHEST) + u2)
+    # powers[m] = AL^m, m = 0..M (in-graph, log-depth over M mats)
+    eye = jnp.eye(s_dim, dtype=al.dtype)
+    reps = jnp.broadcast_to(al, (m_grp, s_dim, s_dim))
+    pow_tail = jax.lax.associative_scan(
+        lambda u, v: jnp.einsum("...ij,...jk->...ik", v, u,
+                                precision=_HIGHEST), reps)
+    powers = jnp.concatenate([eye[None], pow_tail])  # (M+1, S, S)
+    powers_m, al_m = powers[:m_grp], powers[m_grp]
 
-    pmat, pvec = jax.lax.associative_scan(combine, (mats, t_vec))
-    s_after = jnp.einsum("bij,j->bi", pmat, s0,
-                         precision=_HIGHEST) + pvec  # (B, S)
-    s_in = jnp.concatenate([s0[None], s_after[:-1]], axis=0)
-    return s_in, s_after[-1]
+    # tbig_t[j·S+sj, m·S+sm] = AL^{m−j}[sm, sj] for m ≥ j — block-Toeplitz
+    # via the tile trick: rows of the (M, 2M−1) strided view are rolls of
+    # [powers | 0], so slot (j, m) holds powers[(m−j) mod 2M], which is 0
+    # for m < j.
+    pc = jnp.concatenate([powers[:m_grp],
+                          jnp.zeros((m_grp,) + powers.shape[1:], al.dtype)])
+    blocks = jnp.tile(pc, (m_grp, 1, 1))[: m_grp * (2 * m_grp - 1)]
+    blocks = blocks.reshape(m_grp, 2 * m_grp - 1, s_dim, s_dim)[:, :m_grp]
+    tbig_t = blocks.transpose(0, 3, 1, 2).reshape(m_grp * s_dim,
+                                                  m_grp * s_dim)
+
+    nbg = -(-nb // m_grp)
+    t_pad = jnp.pad(t_vec, ((0, nbg * m_grp - nb), (0, 0)))
+    cum = jnp.dot(t_pad.reshape(nbg, m_grp * s_dim), tbig_t,
+                  precision=_HIGHEST).reshape(nbg, m_grp, s_dim)
+
+    def gstep(s, cum_last):
+        return jnp.einsum("ij,j->i", al_m, s, precision=_HIGHEST) \
+            + cum_last, s
+    _, sg_in = jax.lax.scan(gstep, s0, cum[:, m_grp - 1, :])
+    s_in = (jnp.einsum("mij,gj->gmi", powers_m, sg_in, precision=_HIGHEST)
+            + jnp.concatenate([jnp.zeros_like(cum[:, :1]), cum[:, :-1]],
+                              axis=1)).reshape(nbg * m_grp, s_dim)[:nb]
+    s_last = jnp.einsum("ij,j->i", al, s_in[-1], precision=_HIGHEST) \
+        + t_vec[-1]
+    return s_in, s_last
 
 
 def _sosfilt_blocked_1ch(sos, x, s0, block_size, return_state, static_sos=None):

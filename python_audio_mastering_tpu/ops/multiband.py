@@ -46,6 +46,50 @@ def _crossover_sos(sample_rate, low_crossover, high_crossover):
     return np.asarray(lp), np.asarray(hp)
 
 
+# Control-rate resampling as MXU matmuls (measured on the bench chip,
+# 3-min track, hop 8): the (t, hop) reshape needed by a lane-axis bucket
+# sum puts ``hop`` on the 128-lane axis, which costs a full-signal relayout
+# copy per band (~0.78 ms each), and ``jnp.repeat`` of the control-rate
+# gains pays the same relayout in reverse (~0.79 ms per gain).  Folding
+# the signal as ``(n/512, 512)`` rows is free (512 stays minor), and a
+# tiny ones matrix turns bucket-sum (and its transpose, hop-upsample)
+# into one fused MXU pass: detector stats 5.9 → 1.6 ms, gain epilogue
+# 5.3 → 1.7 ms.
+_BUCKET_BLK = 512
+
+
+@functools.lru_cache(maxsize=None)
+def _bucket_matrix(blk, hop):
+    """(blk, blk//hop) 0/1 matrix: column k sums lanes [k·hop, (k+1)·hop)."""
+    s = np.zeros((blk, blk // hop), np.float32)
+    for k in range(blk // hop):
+        s[hop * k:hop * (k + 1), k] = 1.0
+    return s
+
+
+def _bucket_aligned(n, hop):
+    return hop > 1 and _BUCKET_BLK % hop == 0 and n % _BUCKET_BLK == 0
+
+
+def _bucket_sum_mxu(r, n, hop):
+    """Hop-bucket sums of a flat ``(n,)`` row via one MXU dot → ``(n//hop,)``."""
+    s = jnp.asarray(_bucket_matrix(_BUCKET_BLK, hop), r.dtype)
+    folded = r.reshape(n // _BUCKET_BLK, _BUCKET_BLK)
+    out = jax.lax.dot_general(folded, s, (((1,), (0,)), ((), ())),
+                              precision=jax.lax.Precision.HIGHEST)
+    return out.reshape(n // hop)
+
+
+def _upsample_mxu(cols, n, hop):
+    """Hop-upsample ``(t, K)`` control-rate columns → ``(K, n)`` full rate."""
+    t, k = cols.shape
+    u = jnp.asarray(_bucket_matrix(_BUCKET_BLK, hop).T, cols.dtype)
+    rows = cols.T.reshape(k * (n // _BUCKET_BLK), _BUCKET_BLK // hop)
+    full = jax.lax.dot_general(rows, u, (((1,), (0,)), ((), ())),
+                               precision=jax.lax.Precision.HIGHEST)
+    return full.reshape(k, n)
+
+
 def _crossover_bands(x, sample_rate, variant="worker", low_crossover=250.0,
                      high_crossover=4000.0, filter_method="auto", zi=None):
     """Split ``(N, C)`` audio into a ``(low, mid, high)`` TUPLE of bands.
@@ -145,6 +189,8 @@ def detector_stats_fused(x, low, high, sample_rate, thresholds_db, ratios,
     rows = [(b * b).mean(axis=1 - time_ax) for b in (low, mid, high)]
     if hop == 1:
         xb = jnp.stack(rows)  # (3, t), t == n
+    elif _bucket_aligned(n, hop):
+        xb = jnp.stack([_bucket_sum_mxu(r, n, hop) for r in rows])
     else:
         xb = jnp.stack([
             jnp.pad(r, (0, t * hop - n)).reshape(t, hop).sum(-1)
@@ -328,9 +374,20 @@ def multiband_compress(x, sample_rate, thresholds_db, ratios, variant="worker",
         # x·g_mid + low·(g_low − g_mid) + high·(g_high − g_mid) — reads
         # x/low/high once, never touches a materialized mid (deltas are
         # formed at the control rate before the hop upsample)
-        y = (x * up(gains[:, 1])
-             + low * up(gains[:, 0] - gains[:, 1])
-             + high * up(gains[:, 2] - gains[:, 1]))
+        if _bucket_aligned(n, hop):
+            # MXU hop-upsample of all three control-rate columns at once;
+            # the final multiply-add is ONE elementwise fusion over
+            # x/low/high (no per-gain repeat relayouts — see _bucket_matrix)
+            cols = jnp.stack([gains[:, 1], gains[:, 0] - gains[:, 1],
+                              gains[:, 2] - gains[:, 1]], axis=1)
+            full = _upsample_mxu(cols, n, hop)
+            gm, dl, dh = (full[i][None, :] if channel_major
+                          else full[i][:, None] for i in range(3))
+            y = x * gm + low * dl + high * dh
+        else:
+            y = (x * up(gains[:, 1])
+                 + low * up(gains[:, 0] - gains[:, 1])
+                 + high * up(gains[:, 2] - gains[:, 1]))
         if squeeze:
             y = y[:, 0]
         if return_state:
