@@ -431,6 +431,41 @@ def _boundary_states_traced(t_vec, s0, al):
     return s_in, s_last
 
 
+def _matpow_traced(a, p: int):
+    """``A^p`` for a traced square matrix, ``p`` static: binary
+    exponentiation — ~2·log2(p) tiny matmuls, fully unrolled at trace time
+    (vs a p-step scan; used for partial-last-block state finalization)."""
+    result = jnp.eye(a.shape[0], dtype=a.dtype)
+    base = a
+    while p:
+        if p & 1:
+            result = jnp.einsum("ij,jk->ik", base, result,
+                                precision=_HIGHEST)
+        p >>= 1
+        if p:
+            base = jnp.einsum("ij,jk->ik", base, base, precision=_HIGHEST)
+    return result
+
+
+def _final_state_traced(s_in_last, x_last, sos, g, L, rem):
+    """Affine final-state update through ``rem`` valid samples (traced
+    coefficients, operators built in-graph).
+
+    Same contract as :func:`_final_state_static`: ``s_final = A^rem s_in +
+    Σ_{j<rem} A^{rem-1-j} B x[j]``.  ``A^rem`` comes from binary
+    exponentiation and the drive coefficients are a SLICE of the already-
+    built block operator ``G`` (``G[j] = A^{L-1-j} B ⇒ G_rem = G[L-rem:]``)
+    — no rem-step scan, no extra operator build.
+    """
+    a, _, _, _ = cascade_state_space(sos)
+    a_rem = _matpow_traced(a, rem)
+    g_rem = g[L - rem:]  # (rem, S)
+    drive = jnp.einsum("...t,ti->i..." if x_last.ndim == 2 else "t,ti->i",
+                       x_last, g_rem, precision=_HIGHEST)
+    return jnp.einsum("ij,j...->i...", a_rem, s_in_last,
+                      precision=_HIGHEST) + drive
+
+
 def _sosfilt_blocked_1ch(sos, x, s0, block_size, return_state, static_sos=None):
     n = x.shape[0]
     L = block_size
@@ -477,13 +512,8 @@ def _sosfilt_blocked_1ch(sos, x, s0, block_size, return_state, static_sos=None):
             s_final = _final_state_static(s_in[-1], xb[-1, :rem],
                                           static_sos, rem, x.dtype)
         else:
-            a, b, _, _ = cascade_state_space(sos)
-
-            def step(s, x_t):
-                return (jnp.einsum("ij,j->i", a, s, precision=_HIGHEST)
-                        + b * x_t, None)
-
-            s_final, _ = jax.lax.scan(step, s_in[-1], xb[-1, :rem])
+            s_final = _final_state_traced(s_in[-1], xb[-1, :rem], sos, g,
+                                          L, rem)
     return y, s_final
 
 
@@ -662,22 +692,17 @@ def _blocked_cm_run(ops, statics, xT, s0s, L, return_state, sos_list=None):
             s_finals.append(s_last)
         else:
             # evolve the last block's incoming state through its valid
-            # samples only (padded zeros must not advance the state)
+            # samples only (padded zeros must not advance the state):
+            # one affine update, not a rem-step scan
             rem = n - (nb - 1) * L
-            if statics[f] is not None:
-                sos_f = jnp.asarray(statics[f], xT.dtype)
-            else:
-                sos_f = sos_list[f]
-            a, b, _, _ = cascade_state_space(sos_f)
             x_last = rows.reshape(c, nb, L)[:, -1, :rem]  # (C, rem)
-
-            def step(s, x_t, _a=a, _b=b):
-                return jnp.einsum("ij,j->i", _a, s,
-                                  precision=_HIGHEST) + _b * x_t, None
-
-            s_f = jax.vmap(
-                lambda s0c, xc: jax.lax.scan(step, s0c, xc)[0],
-                in_axes=(1, 0), out_axes=1)(s_in[:, -1].T, x_last)
+            s_in_last = s_in[:, -1].T                     # (S, C)
+            if statics[f] is not None:
+                s_f = _final_state_static(s_in_last, x_last, statics[f],
+                                          rem, xT.dtype)
+            else:
+                s_f = _final_state_traced(s_in_last, x_last, sos_list[f],
+                                          g, L, rem)
             s_finals.append(s_f)
     return ysT, s_finals
 

@@ -111,7 +111,7 @@ def _compiled_album(config: ChainConfig):
         soft_limiter, soft_limiter_legacy)
 
     fx = jax.jit(functools.partial(_fx_chunk_batched, config=config),
-                 static_argnames=("first", "need_cells"))
+                 static_argnames=("first", "need_cells", "channel_major"))
     cell_len = int(round(0.1 * config.sample_rate))
 
     def track_gain(cells, n_valid, target):
@@ -130,8 +130,10 @@ def _compiled_album(config: ChainConfig):
                     threshold=config.limiter_threshold)
         return strm.requantize_pcm16(y) if emit_i16 else y
 
-    @functools.partial(jax.jit, static_argnames=("flush", "emit_i16"))
-    def finalize_la(chunk, g, lstate, flush=False, emit_i16=False):
+    @functools.partial(jax.jit,
+                       static_argnames=("flush", "emit_i16", "channel_major"))
+    def finalize_la(chunk, g, lstate, flush=False, emit_i16=False,
+                    channel_major=False):
         """Quality mode (lookahead true-peak limiter), batched over tracks:
         per-track carried delay-line/release state, same chunked contract
         as streaming._finalize_lookahead.  Padding zeros after a track's
@@ -140,8 +142,11 @@ def _compiled_album(config: ChainConfig):
         from python_audio_mastering_tpu.ops import limiter as lim
 
         def one(c, s):
-            return lim.lookahead_limiter_chunk(
+            if channel_major and c is not None:
+                c = c.T
+            out, ns = lim.lookahead_limiter_chunk(
                 c, s, config.sample_rate, flush=flush)
+            return (out.T if channel_major else out), ns
 
         if chunk is None:
             out, ns = jax.vmap(lambda s: one(None, s))(lstate)
@@ -151,20 +156,26 @@ def _compiled_album(config: ChainConfig):
             out = strm.requantize_pcm16(out)
         return out, ns
 
-    @functools.partial(jax.jit, static_argnames=("last",))
-    def tp_batched(tail, chunk, start, lengths_dev, last=False):
+    @functools.partial(jax.jit, static_argnames=("last", "channel_major"))
+    def tp_batched(tail, chunk, start, lengths_dev, last=False,
+                   channel_major=False):
         """Per-track streaming true peak over one finalized batched chunk.
 
         Samples at positions ≥ each track's real length are masked to zero
         first: the padded region carries LUFS-amplified ring-out that is
         not part of that track's returned audio (same rule as the sharded
         meter path and streaming's last-chunk trim)."""
-        pos = start + jnp.arange(chunk.shape[1])
-        chunk = jnp.where(pos[None, :, None] < lengths_dev[:, None, None],
-                          chunk, jnp.zeros((), chunk.dtype))
+        pos = start + jnp.arange(chunk.shape[2 if channel_major else 1])
+        if channel_major:
+            chunk = jnp.where(pos[None, None, :] < lengths_dev[:, None, None],
+                              chunk, jnp.zeros((), chunk.dtype))
+        else:
+            chunk = jnp.where(pos[None, :, None] < lengths_dev[:, None, None],
+                              chunk, jnp.zeros((), chunk.dtype))
 
         def one(t, c):
-            return strm._tp_chunk(t, c, config, last=last)
+            return strm._tp_chunk(t, c, config, last=last,
+                                  channel_major=channel_major)
 
         return jax.vmap(one)(tail, chunk)
 
@@ -240,13 +251,21 @@ def master_album_streamed(tracks: Sequence[np.ndarray], params,
 
     fx, gains_fn, finalize, finalize_la, tp_batched = _compiled_album(config)
 
+    # Channel-major hot path (same gate as streaming.master_streamed):
+    # device layout is (tracks, C, frames) so each vmapped per-track body
+    # runs the folded-rows TPU form with zero per-op layout copies.
+    cm = (config.layout != "nc" and config.variant == "worker"
+          and config.filter_method in ("auto", "blocked")
+          and chunk_frames >= 4 * 512)
+    tax = 2 if cm else 1  # time axis of device-side batched chunks
+
     state = strm.StreamState()  # replaced by per-track states after chunk 0
     processed = []
     cells_list = []
 
     def to_wire(arr):
-        return strm.quantize_pcm16(arr) if pcm16 \
-            else jnp.asarray(arr, dtype=dtype)
+        w = strm.quantize_pcm16(arr) if pcm16 else np.asarray(arr, dtype)
+        return np.ascontiguousarray(w.transpose(0, 2, 1)) if cm else w
 
     # Keep the (small relative to HBM) input batch device-resident and slice
     # chunks on-device: chunking bounds the *intermediates*, and host↔device
@@ -266,7 +285,7 @@ def master_album_streamed(tracks: Sequence[np.ndarray], params,
 
         def chunk_at(i):
             return jax.lax.slice_in_dim(x_dev, i * chunk_frames,
-                                        (i + 1) * chunk_frames, axis=1)
+                                        (i + 1) * chunk_frames, axis=tax)
     else:
         def chunk_at(i):
             s = i * chunk_frames
@@ -296,7 +315,7 @@ def master_album_streamed(tracks: Sequence[np.ndarray], params,
 
         _os.makedirs(checkpoint_dir, exist_ok=True)
         i0, state, processed, cells_list = strm._load_checkpoints(
-            checkpoint_dir, num_chunks, dtype)
+            checkpoint_dir, num_chunks, dtype, layout="cn" if cm else "nc")
         if i0 and progress_cb:
             progress_cb(f"Resuming from checkpoint: {i0}/{num_chunks} "
                         "chunks already processed.")
@@ -324,7 +343,7 @@ def master_album_streamed(tracks: Sequence[np.ndarray], params,
             if i + 1 < num_chunks:
                 next_dev = chunk_at(i + 1)
             y, state, cells = fx(cur, stacked, state, first=(i == 0),
-                                 need_cells=need_cells)
+                                 need_cells=need_cells, channel_major=cm)
             processed.append(y)
             cells_list.append(cells)
             if checkpoint_dir:
@@ -335,7 +354,8 @@ def master_album_streamed(tracks: Sequence[np.ndarray], params,
                 if len(seg_ys) >= checkpoint_every or i == num_chunks - 1:
                     ckpt_futures.append(ckpt_pool.submit(
                         strm._save_checkpoint, checkpoint_dir, i,
-                        list(seg_ys), state, list(seg_cells)))
+                        list(seg_ys), state, list(seg_cells),
+                        layout="cn" if cm else "nc"))
                     seg_ys, seg_cells = [], []
             if progress_cb:
                 progress_cb(f"Processed chunk {i + 1}/{num_chunks} "
@@ -381,12 +401,14 @@ def master_album_streamed(tracks: Sequence[np.ndarray], params,
         finalized = []
         for i, y in enumerate(processed):
             if i == num_chunks - 1 and rem < chunk_frames:
-                y = jax.lax.slice_in_dim(y, 0, rem, axis=1)
-            o, lstate = finalize_la(y, gains, lstate, emit_i16=pcm16)
-            if o.shape[1]:
+                y = jax.lax.slice_in_dim(y, 0, rem, axis=tax)
+            o, lstate = finalize_la(y, gains, lstate, emit_i16=pcm16,
+                                    channel_major=cm)
+            if o.shape[tax]:
                 finalized.append(o)
-        o, _ = finalize_la(None, gains, lstate, flush=True, emit_i16=pcm16)
-        if o.shape[1]:
+        o, _ = finalize_la(None, gains, lstate, flush=True, emit_i16=pcm16,
+                           channel_major=cm)
+        if o.shape[tax]:
             finalized.append(o)
     else:
         finalized = [finalize(y, gains, emit_i16=pcm16) for y in processed]
@@ -400,8 +422,9 @@ def master_album_streamed(tracks: Sequence[np.ndarray], params,
         for fi, f in enumerate(finalized):
             tpv, tp_tail = tp_batched(tp_tail, f, jnp.asarray(startf),
                                       dev_lengths,
-                                      last=(fi == len(finalized) - 1))
-            startf += f.shape[1]
+                                      last=(fi == len(finalized) - 1),
+                                      channel_major=cm)
+            startf += f.shape[tax]
             tp_max = tpv if tp_max is None else jnp.maximum(tp_max, tpv)
     # Compute-phase barrier before the bulk readback (see h2d barrier note).
     _tiny_readback(finalized[-1])
@@ -416,9 +439,10 @@ def master_album_streamed(tracks: Sequence[np.ndarray], params,
         t_start = _time.perf_counter()
     if device_resident:
         # one device-side concat, ONE host transfer for the whole album
-        out = np.asarray(jnp.concatenate(finalized, axis=1))[:, :n]
+        out = np.asarray(jnp.concatenate(finalized, axis=tax))
     else:
-        out = np.concatenate([np.asarray(y) for y in finalized], axis=1)[:, :n]
+        out = np.concatenate([np.asarray(y) for y in finalized], axis=tax)
+    out = (out.transpose(0, 2, 1) if cm else out)[:, :n]
     if timings is not None:
         timings["d2h_s"] = _time.perf_counter() - t_start
         timings["wire_bytes_out"] = out.nbytes
@@ -460,13 +484,15 @@ def master_album_streamed(tracks: Sequence[np.ndarray], params,
     return outs, measured_np, meters
 
 
-def _fx_chunk_batched(chunk, params, state, config, first, need_cells=True):
+def _fx_chunk_batched(chunk, params, state, config, first, need_cells=True,
+                      channel_major=False):
     from python_audio_mastering_tpu.parallel import streaming as strm
 
     def one(c, p, s):
         return strm._fx_chunk(c, p, config=config, state=s, first=first,
                               variant_mb=config.variant,
-                              need_cells=need_cells)
+                              need_cells=need_cells,
+                              channel_major=channel_major)
 
     if first:
         # build a fresh empty state per track (pytree of Nones broadcast)

@@ -102,17 +102,59 @@ def requantize_pcm16(y):
 
 
 def _fx_chunk(chunk, params, config: ChainConfig, state: StreamState,
-              first: bool, variant_mb: str, need_cells: bool = True):
+              first: bool, variant_mb: str, need_cells: bool = True,
+              channel_major: bool = False):
     """Effects chain on one chunk with carried state + loudness cells.
 
     ``need_cells`` (static): False skips the K-weighting/cell pass entirely
     (cells/kw_zi return None) — a ``--no-lufs`` job with no meters
     requested must not pay a full-signal HBM pass per chunk for a
-    measurement nobody consumes."""
+    measurement nobody consumes.
+
+    ``channel_major`` (static): the chunk is ``(C, L)`` and the whole body
+    runs the TPU-native channel-major form (models/chain._master_cm, but
+    with carried state): every blocked-IIR pass is a plain folded-rows
+    matmul and time rides the lane axis for elementwise/detector/cell work
+    — no per-op layout copies, which on (L, 2) row-major chunks waste
+    126/128 lanes of every structured pass.  States (scipy-layout zi,
+    control-rate detector tails, (cells, C) energies) are layout-agnostic
+    and interchangeable with the row-major body's.  Worker variant +
+    blocked filters only (the caller gates)."""
     x = chunk
     if jnp.issubdtype(x.dtype, jnp.integer):
         # pcm16 transfer path: dequantize on-device (first op fuses away)
         x = x.astype(config.jnp_dtype()) / PCM16_SCALE
+    if channel_major:
+        from python_audio_mastering_tpu.models.chain import eq_sos
+        from python_audio_mastering_tpu.ops import iir
+
+        x = saturate(x, params.saturation)
+        sos = eq_sos(params, config.sample_rate).astype(x.dtype)
+        x, eq_zi = iir.sosfilt_blocked_cm(sos, x, zi=state.eq_zi,
+                                          block_size=config.block_size)
+        x = stereo_width(x, params.width, channel_axis=0)
+        mb_state = state.mb
+        if params.multiband:
+            x, mb_state = multiband.multiband_compress(
+                x, config.sample_rate,
+                thresholds_db=(params.low_thresh, params.mid_thresh,
+                               params.high_thresh),
+                ratios=(params.low_ratio, params.mid_ratio,
+                        params.high_ratio),
+                variant=variant_mb, filter_method="blocked",
+                hop=config.comp_hop, block_ctrl=config.comp_block_ctrl,
+                overlap_ctrl=config.comp_overlap_ctrl,
+                ballistics=config.comp_ballistics,
+                state=None if first else mb_state, return_state=True,
+                channel_major=True)
+        if not need_cells:
+            return x, StreamState(eq_zi=eq_zi, mb=mb_state, kw_zi=None), None
+        meter_sig = x.mean(axis=0, keepdims=True) \
+            if (config.measure_downmix == "reference_mono_mean"
+                and x.shape[0] > 1) else x
+        cells, _, kw_zi = loud.block_cell_energies_cm(
+            meter_sig, config.sample_rate, zi=state.kw_zi)
+        return x, StreamState(eq_zi=eq_zi, mb=mb_state, kw_zi=kw_zi), cells
     if config.variant == "worker":
         x = saturate(x, params.saturation)
     else:
@@ -143,24 +185,33 @@ def _fx_chunk(chunk, params, config: ChainConfig, state: StreamState,
 
 
 def _finalize_lookahead(chunk, gain, lstate, config: ChainConfig,
-                        flush: bool = False, emit_i16: bool = False):
+                        flush: bool = False, emit_i16: bool = False,
+                        channel_major: bool = False):
     """Pass-B step for quality mode: gain → streamed lookahead limiter.
 
     The limiter's delay-line/release state is carried in ``lstate`` (see
     ops.limiter.lookahead_limiter_chunk); emissions lag input by the
-    pending-buffer depth and drain on the ``flush`` call.
+    pending-buffer depth and drain on the ``flush`` call.  In
+    ``channel_major`` mode the ``(C, L)`` chunk is transposed around the
+    limiter's (N, C) state machine — one relayout per chunk, only in
+    quality mode (its envelope scan dominates anyway).
     """
     from python_audio_mastering_tpu.ops import limiter as lim
 
     y = None if chunk is None else chunk * gain
+    if channel_major and y is not None:
+        y = y.T
     out, new_state = lim.lookahead_limiter_chunk(
         y, lstate, config.sample_rate, flush=flush)
+    if channel_major:
+        out = out.T
     if emit_i16:
         out = requantize_pcm16(out)
     return out, new_state
 
 
-def _tp_chunk(tail, chunk, config: ChainConfig, last: bool = False):
+def _tp_chunk(tail, chunk, config: ChainConfig, last: bool = False,
+              channel_major: bool = False):
     """Streaming true-peak step: chunk (+ carried boundary tail) → scalar
     max true peak and the next tail.  int16 (pcm16) chunks are dequantized
     first — the quantized samples ARE the output, so this is the honest
@@ -179,6 +230,8 @@ def _tp_chunk(tail, chunk, config: ChainConfig, last: bool = False):
     x = chunk
     if jnp.issubdtype(x.dtype, jnp.integer):
         x = x.astype(config.jnp_dtype()) / PCM16_SCALE
+    if channel_major:
+        x = x.T  # meters are optional; one relayout per chunk when asked
     ext = jnp.concatenate([tail, x], axis=0)
     return (true_peak_linear(ext, exclude_pad=(True, not last)),
             ext[-tail.shape[0]:])
@@ -201,13 +254,16 @@ def _ckpt_path(checkpoint_dir, i):
     return os.path.join(checkpoint_dir, f"chunk_{i:05d}.pkl")
 
 
-def _save_checkpoint(checkpoint_dir, i, y, state, cells):
+def _save_checkpoint(checkpoint_dir, i, y, state, cells, layout="nc"):
     """Durable chunk-granular progress: atomic write of audio + state.
 
     ``y``/``cells`` may be single chunk arrays or LISTS of consecutive
     chunks (a *segment* — the batched album runner checkpoints every N
     chunks, so one file carries the N chunks ending at index ``i``).
-    The file is keyed by the LAST chunk index it contains."""
+    The file is keyed by the LAST chunk index it contains.  ``layout``
+    records the audio axis order (``"nc"`` time-major / ``"cn"``
+    channel-major) so a resume under the other execution layout can
+    transpose on load instead of corrupting the concat."""
     ys = y if isinstance(y, (list, tuple)) else [y]
     cells_seq = cells if isinstance(cells, (list, tuple)) else [cells]
     payload = {
@@ -215,6 +271,7 @@ def _save_checkpoint(checkpoint_dir, i, y, state, cells):
         "state": jax.tree.map(np.asarray, state),
         "cells": [None if c is None else np.asarray(c) for c in cells_seq],
         "start": i - len(ys) + 1,
+        "layout": layout,
     }
     path = _ckpt_path(checkpoint_dir, i)
     tmp = path + ".tmp"
@@ -223,8 +280,12 @@ def _save_checkpoint(checkpoint_dir, i, y, state, cells):
     os.replace(tmp, path)
 
 
-def _load_checkpoints(checkpoint_dir, num_chunks, dtype):
-    """Replay the contiguous prefix of saved chunk segments."""
+def _load_checkpoints(checkpoint_dir, num_chunks, dtype, layout="nc"):
+    """Replay the contiguous prefix of saved chunk segments.
+
+    ``layout`` is the CALLER's execution layout; segments saved under the
+    other layout (e.g. a pre-channel-major checkpoint resumed by a
+    channel-major run) are transposed on load."""
     import glob
 
     processed, cell_list = [], []
@@ -242,6 +303,10 @@ def _load_checkpoints(checkpoint_dir, num_chunks, dtype):
         else:
             cells_seq = payload["cells"]
             start = payload["start"]
+        if payload.get("layout", "nc") != layout:
+            # audio axes are the trailing two in both the streamed (2-D)
+            # and batched-album (3-D, tracks leading) formats
+            ys = [np.swapaxes(np.asarray(y), -1, -2) for y in ys]
         if start != i:  # gap → stop at the contiguous prefix
             break
         for y, cells in zip(ys, cells_seq):
@@ -262,13 +327,13 @@ def _compiled(config: ChainConfig):
     (a worker serving many jobs compiles once per config + chunk shape)."""
     fx = jax.jit(functools.partial(_fx_chunk, config=config,
                                    variant_mb=config.variant),
-                 static_argnames=("first", "need_cells"))
+                 static_argnames=("first", "need_cells", "channel_major"))
     fin = jax.jit(functools.partial(_finalize_chunk, config=config),
                   static_argnames=("emit_i16",))
     fin_la = jax.jit(functools.partial(_finalize_lookahead, config=config),
-                     static_argnames=("flush", "emit_i16"))
+                     static_argnames=("flush", "emit_i16", "channel_major"))
     tp = jax.jit(functools.partial(_tp_chunk, config=config),
-                 static_argnames=("last",))
+                 static_argnames=("last", "channel_major"))
     return fx, fin, fin_la, tp
 
 
@@ -319,8 +384,18 @@ def master_streamed(audio, params: MasteringParams, config: ChainConfig,
 
     fx, fin, fin_la, tp_fn = _compiled(config)
 
+    # Channel-major hot path (same gate as models.chain.master): chunks
+    # live on device as (C, chunk_frames) and the whole per-chunk body runs
+    # the folded-rows TPU form — the host transposes once per file (cheap
+    # next to the link), not the device once per op.
+    cm = (config.layout != "nc" and config.variant == "worker"
+          and config.filter_method in ("auto", "blocked")
+          and chunk_frames >= 4 * 512)
+    tax = 1 if cm else 0  # time axis of device-side chunks
+
     def to_wire(arr):
-        return quantize_pcm16(arr) if pcm16 else jnp.asarray(arr, dtype=dtype)
+        w = quantize_pcm16(arr) if pcm16 else np.asarray(arr, dtype)
+        return np.ascontiguousarray(w.T) if cm else w
 
     # Device-resident input when it fits comfortably (one transfer per file,
     # chunks sliced on-device); host-streamed chunks for larger-than-HBM
@@ -338,7 +413,7 @@ def master_streamed(audio, params: MasteringParams, config: ChainConfig,
 
         def chunk_at(i):
             return jax.lax.slice_in_dim(x_dev, i * chunk_frames,
-                                        (i + 1) * chunk_frames, axis=0)
+                                        (i + 1) * chunk_frames, axis=tax)
     else:
         def chunk_at(i):
             # one compiled shape for every chunk: the tail is zero-padded and
@@ -358,7 +433,7 @@ def master_streamed(audio, params: MasteringParams, config: ChainConfig,
     if checkpoint_dir:
         os.makedirs(checkpoint_dir, exist_ok=True)
         start_chunk, state, processed, cell_list = _load_checkpoints(
-            checkpoint_dir, num_chunks, dtype)
+            checkpoint_dir, num_chunks, dtype, layout="cn" if cm else "nc")
         if start_chunk and progress_cb:
             progress_cb(f"Resuming from chunk {start_chunk + 1}/{num_chunks}...")
 
@@ -370,12 +445,13 @@ def master_streamed(audio, params: MasteringParams, config: ChainConfig,
             next_dev = chunk_at(i + 1)
         y, new_state, cells = fx(cur, params, state=state,
                                  first=(i == 0 or not carry_state),
-                                 need_cells=need_cells)
+                                 need_cells=need_cells, channel_major=cm)
         state = new_state if carry_state else StreamState()
         processed.append(y)       # device-resident until pass B
         cell_list.append(cells)
         if checkpoint_dir:
-            _save_checkpoint(checkpoint_dir, i, y, state, cells)
+            _save_checkpoint(checkpoint_dir, i, y, state, cells,
+                             layout="cn" if cm else "nc")
         if progress_cb:
             progress_cb(f"Processed chunk {i + 1}/{num_chunks}...")
 
@@ -405,14 +481,16 @@ def master_streamed(audio, params: MasteringParams, config: ChainConfig,
         rem = n - (num_chunks - 1) * chunk_frames
         for i, y in enumerate(processed):
             if i == num_chunks - 1 and rem < chunk_frames:
-                y = jax.lax.slice_in_dim(y, 0, rem, axis=0)
-            o, lstate = fin_la(y, gain, lstate, emit_i16=pcm16)
-            if o.shape[0]:
+                y = jax.lax.slice_in_dim(y, 0, rem, axis=tax)
+            o, lstate = fin_la(y, gain, lstate, emit_i16=pcm16,
+                               channel_major=cm)
+            if o.shape[tax]:
                 finalized.append(o)
             if progress_cb:
                 progress_cb(f"Finalizing chunk {i + 1}/{num_chunks}...")
-        o, _ = fin_la(None, gain, lstate, flush=True, emit_i16=pcm16)
-        if o.shape[0]:
+        o, _ = fin_la(None, gain, lstate, flush=True, emit_i16=pcm16,
+                      channel_major=cm)
+        if o.shape[tax]:
             finalized.append(o)
     else:
         # trim the zero-padding/ring-out tail of the last chunk BEFORE
@@ -422,7 +500,7 @@ def master_streamed(audio, params: MasteringParams, config: ChainConfig,
         rem = n - (num_chunks - 1) * chunk_frames
         for i, y in enumerate(processed):
             if i == num_chunks - 1 and rem < chunk_frames:
-                y = jax.lax.slice_in_dim(y, 0, rem, axis=0)
+                y = jax.lax.slice_in_dim(y, 0, rem, axis=tax)
             finalized.append(fin(y, gain, emit_i16=pcm16))
             if progress_cb:
                 progress_cb(f"Finalizing chunk {i + 1}/{num_chunks}...")
@@ -431,13 +509,15 @@ def master_streamed(audio, params: MasteringParams, config: ChainConfig,
     if return_meters:
         tp_tail = jnp.zeros((32, c), dtype)
         for fi, f in enumerate(finalized):
-            tpv, tp_tail = tp_fn(tp_tail, f, last=(fi == len(finalized) - 1))
+            tpv, tp_tail = tp_fn(tp_tail, f, last=(fi == len(finalized) - 1),
+                                 channel_major=cm)
             tp_max = tpv if tp_max is None else jnp.maximum(tp_max, tpv)
 
     if device_resident:
-        out = np.asarray(jnp.concatenate(finalized, axis=0))[:n]
+        out = np.asarray(jnp.concatenate(finalized, axis=tax))
     else:
-        out = np.concatenate([np.asarray(y) for y in finalized], axis=0)[:n]
+        out = np.concatenate([np.asarray(y) for y in finalized], axis=tax)
+    out = np.ascontiguousarray(out[:, :n].T) if cm else out[:n]
     if pcm16:
         out = out.astype(np.float32) / PCM16_SCALE
     if squeeze:
