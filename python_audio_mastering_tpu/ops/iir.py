@@ -242,9 +242,6 @@ def _rem_operators_static(sos_bytes, k, rem):
     state finalization (~500 sequential steps per filter per chunk).
     Returns ``(a_rem (S, S), g_rem (rem, S))`` in float64.
     """
-    import numpy as onp
-
-    sos = onp.frombuffer(sos_bytes, dtype=onp.float64).reshape(k, 6)
     t_mat, g, w, al = _blocked_operators_static(sos_bytes, k, max(rem, 1))
     # reuse the length-rem operator build: G of block length rem IS
     # Σ A^{rem-1-j} B laid out per position, and AL of length rem is A^rem.
@@ -932,16 +929,7 @@ def sosfilt_sharded(sos, x_shard, axis_name, zi=None, block_size=512):
     a, b_vec, c_vec, _ = cascade_state_space(sos)
 
     # A^n_local via log-depth squaring (decays to ~0 for long shards — fine).
-    def mat_power(m, p):
-        result = jnp.eye(s_dim, dtype=m.dtype)
-        while p:
-            if p & 1:
-                result = jnp.einsum("ij,jk->ik", m, result, precision=_HIGHEST)
-            m = jnp.einsum("ij,jk->ik", m, m, precision=_HIGHEST)
-            p >>= 1
-        return result
-
-    a_shard = mat_power(a, n)
+    a_shard = _matpow_traced(a, n)
 
     # local zero-state pass (per channel)
     run = functools.partial(_sosfilt_blocked_1ch, sos,

@@ -288,10 +288,14 @@ def multiband_compress(x, sample_rate, thresholds_db, ratios, variant="worker",
     # + gain-apply epilogue), never as a third full-length HBM array, and
     # the streaming detector tail is carried at the control rate.  A legacy
     # sample-tail state (old checkpoint) falls back to the general path.
-    fused = (variant == "worker" and blocked
-             and state.get("tail") is None)
+    # A carried control-rate tail FORCES the fused detector even for a
+    # chunk too short for the blocked filters (scan crossovers instead):
+    # the general path cannot consume ``ctrl_tail``, and dropping it would
+    # silently reset the compressor lookback window mid-stream.
+    fused = (variant == "worker" and state.get("tail") is None
+             and (blocked or state.get("ctrl_tail") is not None))
 
-    if channel_major and not fused:
+    if channel_major and not (fused and blocked):
         y = multiband_compress(
             x.T, sample_rate, thresholds_db, ratios, variant=variant,
             low_crossover=low_crossover, high_crossover=high_crossover,
@@ -310,9 +314,16 @@ def multiband_compress(x, sample_rate, thresholds_db, ratios, variant="worker",
         if channel_major:
             (low, high), (z_lp, z_hp) = iir.sosfilt_blocked_multi_cm(
                 (lp_sos, hp_sos), x, (zi.get("lp"), zi.get("hp")))
-        else:
+        elif blocked:
             (low, high), (z_lp, z_hp) = iir.sosfilt_blocked_multi(
                 (lp_sos, hp_sos), x, (zi.get("lp"), zi.get("hp")))
+        else:
+            # short continuation chunk under a fused ctrl_tail: scan
+            # crossovers (same filters, carried zi) feed the fused detector
+            low, z_lp = iir.sosfilt(lp_sos, x, zi.get("lp"),
+                                    method=filter_method)
+            high, z_hp = iir.sosfilt(hp_sos, x, zi.get("hp"),
+                                     method=filter_method)
         zf = {"lp": z_lp, "hp": z_hp}
         stacked, new_ctrl_tail = detector_stats_fused(
             x, low, high, sample_rate, thresholds_db, ratios, hop=hop,

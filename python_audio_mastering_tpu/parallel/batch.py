@@ -309,6 +309,7 @@ def master_album_streamed(tracks: Sequence[np.ndarray], params,
             timings["wire_bytes_in"] = batch_bytes
         t_start = _time.perf_counter()
 
+    need_cells = stacked.lufs_enabled or return_meters
     i0 = 0
     if checkpoint_dir:
         import os as _os
@@ -316,11 +317,14 @@ def master_album_streamed(tracks: Sequence[np.ndarray], params,
         _os.makedirs(checkpoint_dir, exist_ok=True)
         i0, state, processed, cells_list = strm._load_checkpoints(
             checkpoint_dir, num_chunks, dtype, layout="cn" if cm else "nc")
+        if need_cells:
+            # checkpoints written by a no-lufs/no-meters run carry no cells
+            cells_list, state = strm._rebuild_cells(
+                processed, cells_list, state, config, cm, batched=True)
         if i0 and progress_cb:
             progress_cb(f"Resuming from checkpoint: {i0}/{num_chunks} "
                         "chunks already processed.")
 
-    need_cells = stacked.lufs_enabled or return_meters
     checkpoint_every = max(1, int(checkpoint_every))
     # Checkpoint saves run on ONE ordered background thread: the device
     # readback (np.asarray inside _save_checkpoint) happens off the

@@ -184,6 +184,70 @@ def _fx_chunk(chunk, params, config: ChainConfig, state: StreamState,
     return x, StreamState(eq_zi=eq_zi, mb=mb_state, kw_zi=kw_zi), cells
 
 
+def _cells_chunk(chunk, zi, config: ChainConfig, channel_major: bool = False):
+    """Loudness cells of an already-processed chunk (checkpoint replay).
+
+    A checkpoint written by a run with ``need_cells=False`` stores no
+    cells; a resume that DOES need them (lufs re-enabled or meters newly
+    requested) rebuilds them from the saved processed audio.  Cells are
+    measured on exactly this signal (post-effects, pre-gain), so the
+    rebuilt values equal what the original run would have accumulated.
+    """
+    x = chunk
+    if jnp.issubdtype(x.dtype, jnp.integer):
+        x = x.astype(config.jnp_dtype()) / PCM16_SCALE
+    if channel_major:
+        meter_sig = x.mean(axis=0, keepdims=True) \
+            if (config.measure_downmix == "reference_mono_mean"
+                and x.shape[0] > 1) else x
+        cells, _, kw_zi = loud.block_cell_energies_cm(
+            meter_sig, config.sample_rate, zi=zi)
+    else:
+        meter_sig = x.mean(axis=1, keepdims=True) \
+            if (config.measure_downmix == "reference_mono_mean"
+                and x.ndim == 2) else x
+        cells, kw_zi = loud.block_cell_energies(
+            meter_sig, config.sample_rate, zi=zi,
+            filter_method=config.filter_method)
+    return cells, kw_zi
+
+
+@functools.lru_cache(maxsize=32)
+def _compiled_cells(config: ChainConfig, batched: bool = False):
+    base = functools.partial(_cells_chunk, config=config)
+    if not batched:
+        return jax.jit(base, static_argnames=("channel_major",))
+
+    def run(chunk, zi, channel_major=False):
+        if zi is None:
+            return jax.vmap(
+                lambda c: base(c, None, channel_major=channel_major))(chunk)
+        return jax.vmap(
+            lambda c, z: base(c, z, channel_major=channel_major))(chunk, zi)
+
+    return jax.jit(run, static_argnames=("channel_major",))
+
+
+def _rebuild_cells(processed, cell_list, state, config: ChainConfig,
+                   channel_major: bool, batched: bool = False):
+    """Fill in cells for chunks replayed from cell-less checkpoints.
+
+    Recomputes the WHOLE replayed prefix (carrying K-filter state from
+    zero, as the original pass would have) whenever any entry is missing,
+    and patches ``state.kw_zi`` so chunks processed after the resume point
+    continue the K-filter seamlessly.  No-op when every cell is present.
+    """
+    if not processed or all(c is not None for c in cell_list):
+        return cell_list, state
+    fn = _compiled_cells(config, batched)
+    kw_zi = None
+    rebuilt = []
+    for y in processed:
+        cells, kw_zi = fn(y, kw_zi, channel_major=channel_major)
+        rebuilt.append(cells)
+    return rebuilt, dataclasses.replace(state, kw_zi=kw_zi)
+
+
 def _finalize_lookahead(chunk, gain, lstate, config: ChainConfig,
                         flush: bool = False, emit_i16: bool = False,
                         channel_major: bool = False):
@@ -426,6 +490,7 @@ def master_streamed(audio, params: MasteringParams, config: ChainConfig,
                                      c_arr.dtype)])
             return jax.device_put(to_wire(c_arr))
 
+    need_cells = params.lufs_enabled or return_meters
     state = StreamState()
     processed = []
     cell_list = []
@@ -434,10 +499,13 @@ def master_streamed(audio, params: MasteringParams, config: ChainConfig,
         os.makedirs(checkpoint_dir, exist_ok=True)
         start_chunk, state, processed, cell_list = _load_checkpoints(
             checkpoint_dir, num_chunks, dtype, layout="cn" if cm else "nc")
+        if need_cells:
+            # checkpoints written by a no-lufs/no-meters run carry no cells
+            cell_list, state = _rebuild_cells(processed, cell_list, state,
+                                              config, cm)
         if start_chunk and progress_cb:
             progress_cb(f"Resuming from chunk {start_chunk + 1}/{num_chunks}...")
 
-    need_cells = params.lufs_enabled or return_meters
     next_dev = chunk_at(start_chunk) if start_chunk < num_chunks else None
     for i in range(start_chunk, num_chunks):
         cur = next_dev

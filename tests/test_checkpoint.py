@@ -157,3 +157,79 @@ def test_album_segment_checkpoints_every_n(tmp_path):
     for i in range(2):
         np.testing.assert_allclose(outs[i], full5[i], rtol=1e-12, atol=1e-14)
         assert abs(measured[i] - m_full5[i]) < 1e-12
+
+
+def test_resume_with_lufs_rebuilds_missing_cells(tmp_path):
+    """Checkpoints written by a no-lufs/no-meters run store no loudness
+    cells; a resume that needs them (lufs re-enabled) must rebuild them
+    from the saved processed audio instead of crashing on the None
+    entries or mis-measuring the prefix."""
+    x = make_signal(FS * 2, fs=FS) * 0.4
+    p_nolufs = MasteringParams.from_settings(
+        {"preset": "techno", "saturation": 10, "lufs": None,
+         "multiband": True})
+    p_lufs = MasteringParams.from_settings(
+        {"preset": "techno", "saturation": 10, "lufs": -14.0,
+         "multiband": True})
+    cfg = ChainConfig(sample_rate=FS, dtype="float64")
+
+    ckpt = str(tmp_path / "job_nolufs")
+
+    class Stop(Exception):
+        pass
+
+    def interrupt(msg):
+        if "Processed chunk 2/" in msg:
+            raise Stop()
+
+    try:
+        streaming.master_streamed(x, p_nolufs, cfg, chunk_seconds=0.5,
+                                  progress_cb=interrupt, checkpoint_dir=ckpt)
+    except Stop:
+        pass
+
+    fresh, m_fresh, g_fresh, met_fresh = streaming.master_streamed(
+        x, p_lufs, cfg, chunk_seconds=0.5, return_meters=True)
+    out, m, g, met = streaming.master_streamed(
+        x, p_lufs, cfg, chunk_seconds=0.5, checkpoint_dir=ckpt,
+        return_meters=True)
+    np.testing.assert_allclose(out, fresh, rtol=1e-12, atol=1e-14)
+    assert abs(m - m_fresh) < 1e-12
+    np.testing.assert_allclose(met["momentary_lufs"],
+                               met_fresh["momentary_lufs"],
+                               rtol=1e-9, atol=1e-12)
+
+
+def test_album_resume_with_lufs_rebuilds_missing_cells(tmp_path):
+    from python_audio_mastering_tpu.parallel import batch as pbatch
+
+    tracks = [make_signal(FS * 2, fs=FS, seed=s) * 0.4 for s in (1, 2)]
+    p_nolufs = MasteringParams.from_settings(
+        {"preset": "pop", "saturation": 5, "lufs": None, "multiband": True})
+    p_lufs = MasteringParams.from_settings(
+        {"preset": "pop", "saturation": 5, "lufs": -15.0, "multiband": True})
+    cfg = ChainConfig(sample_rate=FS, dtype="float64")
+    ckpt = str(tmp_path / "album_nolufs")
+
+    class Stop(Exception):
+        pass
+
+    def interrupt(msg):
+        if "Processed chunk 2/" in msg:
+            raise Stop()
+
+    try:
+        pbatch.master_album_streamed(tracks, p_nolufs, cfg, chunk_seconds=0.5,
+                                     progress_cb=interrupt,
+                                     checkpoint_dir=ckpt)
+    except Stop:
+        pass
+
+    fresh, m_fresh = pbatch.master_album_streamed(tracks, p_lufs, cfg,
+                                                  chunk_seconds=0.5)
+    outs, measured = pbatch.master_album_streamed(tracks, p_lufs, cfg,
+                                                  chunk_seconds=0.5,
+                                                  checkpoint_dir=ckpt)
+    for o, f in zip(outs, fresh):
+        np.testing.assert_allclose(o, f, rtol=1e-12, atol=1e-14)
+    np.testing.assert_allclose(measured, m_fresh, rtol=1e-12, atol=1e-12)

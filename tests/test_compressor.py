@@ -136,3 +136,26 @@ def test_cumsum_mxu_float32_accuracy_vs_naive():
     denom = np.maximum(np.abs(exact), 1.0)
     assert np.max(np.abs(blocked - exact) / denom) \
         <= np.max(np.abs(naive - exact) / denom) * 1.5
+
+
+def test_multiband_streamed_short_final_chunk_keeps_fused_state():
+    """A short final chunk (below the blocked-filter threshold) after fused
+    chunks must keep consuming the carried control-rate detector tail —
+    falling back to the stateless general path would silently reset the
+    compressor lookback window mid-stream."""
+    x = make_signal(4096 + 1024, fs=FS) * 0.7
+    thr = (-25.0, -20.0, -15.0)
+    ratio = (6.0, 3.0, 4.0)
+    kw = dict(thresholds_db=thr, ratios=ratio, variant="worker",
+              filter_method="auto")
+
+    one_shot = np.asarray(multiband.multiband_compress(x, FS, **kw))
+
+    y1, st = multiband.multiband_compress(x[:4096], FS, return_state=True,
+                                          **kw)
+    assert st.get("ctrl_tail") is not None
+    y2, st2 = multiband.multiband_compress(x[4096:], FS, state=st,
+                                           return_state=True, **kw)
+    assert st2.get("ctrl_tail") is not None
+    streamed = np.concatenate([np.asarray(y1), np.asarray(y2)])
+    np.testing.assert_allclose(streamed, one_shot, rtol=1e-5, atol=1e-6)
