@@ -110,7 +110,7 @@ def test_full_job_flow(stack):
     assert processed == "processed/mastered_beat.wav"
 
     # step 4: poll until done
-    for _ in range(300):
+    for _ in range(1800):  # 180 s: first-call compiles under CPU contention
         status, s = backend.get_json("GET", f"/status?filename={processed}")
         assert status == 200
         if s["status"] == "done":
@@ -148,7 +148,7 @@ def test_failed_job_surfaces_error(stack):
          "settings": {"lufs": -14.0, "original_filename": "bad.wav"}})
     assert status == 200
     processed = resp["processed_filename"]
-    for _ in range(100):
+    for _ in range(600):
         _, s = backend.get_json("GET", f"/status?filename={processed}")
         if s["status"] == "error":
             break
@@ -286,7 +286,7 @@ def test_album_job_flow(stack):
     assert processed == [f"processed/mastered_{n}" for n in names]
 
     for p in processed:
-        for _ in range(600):
+        for _ in range(1800):  # 180 s: first-call compiles under CPU contention
             status, s = backend.get_json("GET", f"/status?filename={p}")
             assert status == 200
             if s["status"] == "done":
@@ -367,7 +367,7 @@ def test_status_surfaces_meters(stack):
          "settings": {"lufs": -16.0, "original_filename": "m.wav"}})
     assert status == 200
     processed = resp2["processed_filename"]
-    for _ in range(600):
+    for _ in range(1800):  # 180 s: first-call compiles under CPU contention
         status, s = backend.get_json("GET", f"/status?filename={processed}")
         if s["status"] == "done":
             break
