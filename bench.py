@@ -254,10 +254,18 @@ def main():
         t0 = time.perf_counter()
         outs, _ = pbatch.master_album_streamed(
             tracks, params, cfg, mesh=mesh1, transfer="pcm16")
-        wall = time.perf_counter() - t0
+        wall_run2 = time.perf_counter() - t0
         tm = {}
+        t0 = time.perf_counter()
         pbatch.master_album_streamed(
             tracks, params, cfg, mesh=mesh1, transfer="pcm16", timings=tm)
+        wall_run3 = time.perf_counter() - t0
+        # The bench chip sits behind a shared RPC tunnel whose throughput
+        # swings ~10x between runs (run 1, compile included, has been
+        # observed FASTER than run 2).  Steady-state wall = min over the
+        # three runs; the per-run walls are kept for honesty.
+        runs = [compile_and_run, wall_run2, wall_run3]
+        wall = min(runs)
         # host↔device link calibration, for context only: this environment
         # tunnels the TPU, so album jobs are link-bound end to end; on a
         # real TPU host PCIe makes the transfer negligible
@@ -267,6 +275,7 @@ def main():
         put_gbps = (64 / 1024) / (time.perf_counter() - t0)
         entry = {
             "wall_s": wall, "first_call_s": compile_and_run,
+            "wall_runs_s": [round(r, 2) for r in runs],
             "rtf": album_sec / wall,
             "transfer": "pcm16",
             "host_device_link_GBps": round(put_gbps, 4),
@@ -348,9 +357,12 @@ def main():
         details["configs"]["album_via_worker_runjob"] = {
             "wall_s": worker_wall,
             "rtf": round(album_sec / worker_wall, 1),
+            # single-run ratio on a ~10x-noisy link: compare against the
+            # MEDIAN config-5 run, not the min recorded as steady state
             "vs_config5_wall": round(
                 worker_wall
-                / details["configs"]["album_12x5min_streamed"]["wall_s"], 2),
+                / sorted(details["configs"]["album_12x5min_streamed"]
+                         ["wall_runs_s"])[1], 2),
             "env": pworker.job_options(),
         }
         _shutil.rmtree(root, ignore_errors=True)
