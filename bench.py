@@ -351,18 +351,21 @@ def main():
             uris.append(f"local://bench/up/t{i:02d}.wav")
         settings = {"saturation": 20, "preset": "techno", "width": 1.3,
                     "lufs": -14.0, "multiband": True}
-        t0 = time.perf_counter()
-        pworker.run_job({"gcs_uris": uris, "settings": settings}, store)
-        worker_wall = time.perf_counter() - t0
+        # two runs, min recorded: the link's ~10x swing would otherwise
+        # decide this config (compute is ~2 s of a 150-700 s wall)
+        worker_runs = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            pworker.run_job({"gcs_uris": uris, "settings": settings}, store)
+            worker_runs.append(time.perf_counter() - t0)
+        worker_wall = min(worker_runs)
         details["configs"]["album_via_worker_runjob"] = {
             "wall_s": worker_wall,
+            "wall_runs_s": [round(r, 2) for r in worker_runs],
             "rtf": round(album_sec / worker_wall, 1),
-            # single-run ratio on a ~10x-noisy link: compare against the
-            # MEDIAN config-5 run, not the min recorded as steady state
             "vs_config5_wall": round(
                 worker_wall
-                / sorted(details["configs"]["album_12x5min_streamed"]
-                         ["wall_runs_s"])[1], 2),
+                / details["configs"]["album_12x5min_streamed"]["wall_s"], 2),
             "env": pworker.job_options(),
         }
         _shutil.rmtree(root, ignore_errors=True)

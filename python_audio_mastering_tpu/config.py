@@ -195,6 +195,18 @@ class ChainConfig:
     def jnp_dtype(self):
         return jnp.dtype(self.dtype)
 
+    def channel_major(self, n_frames: int) -> bool:
+        """Shared gate for the TPU channel-major blocked body
+        (models.chain._master_cm and the streaming/batched runners):
+        worker variant, blocked-capable filter method, layout not forced
+        row-major, and enough frames that blocked filtering beats the
+        scan — the same ``4 × block_size`` rule ``ops.iir.sosfilt`` uses
+        for its auto method choice, so a row-major fallback run always
+        picks the same filter algorithm as the channel-major body."""
+        return (self.layout != "nc" and self.variant == "worker"
+                and self.filter_method in ("auto", "blocked")
+                and n_frames >= 4 * self.block_size)
+
     @classmethod
     def tpu_default(cls, sample_rate=44100):
         """Throughput defaults for real TPU runs: blocked MXU IIR + hop-8

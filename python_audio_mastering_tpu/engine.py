@@ -26,6 +26,7 @@ chunk-shape) pair.
 from __future__ import annotations
 
 import io
+import math
 import os
 import traceback
 
@@ -82,19 +83,23 @@ def _run_chain(audio: np.ndarray, sample_rate: int, settings: dict,
 
 def meters_summary(meters: dict | None) -> dict | None:
     """JSON-safe scalar summary of a meter dict (series → their maxima;
-    NaN → null) — the sidecar/API payload shape."""
+    non-finite → null) — the sidecar/API payload shape.  Silence gates to
+    -inf LUFS, which ``json.dumps`` would emit as the non-standard
+    ``-Infinity`` token that strict parsers (e.g. the browser's
+    ``response.json()``) reject — so every non-finite value becomes null."""
     if meters is None:
         return None
 
     def _f(v):
         v = None if v is None else float(v)
-        return None if v is None or v != v else round(v, 2)
+        return round(v, 2) if v is not None and math.isfinite(v) else None
 
     def _mx(series):
         if series is None or len(series) == 0:
             return None
         arr = np.asarray(series, dtype=np.float64)
-        return None if np.all(np.isnan(arr)) else round(float(np.nanmax(arr)), 2)
+        mx = np.nanmax(arr) if not np.all(np.isnan(arr)) else np.nan
+        return round(float(mx), 2) if np.isfinite(mx) else None
 
     return {
         "integrated_lufs": _f(meters.get("integrated_lufs")),

@@ -205,9 +205,7 @@ def master(audio, params: MasteringParams, config: ChainConfig,
     # TPU hot path: worker variant + blocked filters → the channel-major,
     # block-aligned body (see _master_cm).  Short signals, the legacy
     # variant, and layout="nc" keep the row-major body below.
-    if (config.layout != "nc" and config.variant == "worker" and x.ndim == 2
-            and config.filter_method in ("auto", "blocked")
-            and x.shape[0] >= 4 * 512):
+    if x.ndim == 2 and config.channel_major(x.shape[0]):
         return _master_cm(x, params, config, return_result, valid_frames)
 
     if config.variant == "worker":

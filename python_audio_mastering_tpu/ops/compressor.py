@@ -194,6 +194,21 @@ def detector_stats_bands(bands, sample_rate, thresholds_db, ratios,
         rel_f.append(max(releases_ms[i] * sample_rate / 1000.0, 1.0))
 
     ms = jnp.stack(ms_cols, axis=-1)  # (T, B)
+    return gain_computer_stats(ms, thresholds_db, ratios, att_f, rel_f, hop)
+
+
+def gain_computer_stats(ms, thresholds_db, ratios, att_f, rel_f, hop):
+    """dB-domain gain computer + ballistics rates from mean-square
+    envelopes — the ONE definition of the detector→stats contract, shared
+    by :func:`detector_stats_bands` and the fused worker-path detector
+    (``ops.multiband.detector_stats_fused``) so the two can never diverge.
+
+    Args:
+      ms: ``(T, B)`` per-band mean-square envelope columns.
+      att_f / rel_f: length-B attack/release frame counts (static floats).
+    Returns the ``attenuation_scan`` stats dict of ``(T, B)`` arrays.
+    """
+    dt = ms.dtype
     thresh_amp = 10.0 ** (jnp.stack(
         [jnp.asarray(x, dt) for x in thresholds_db]) / 20.0)  # (B,)
     rms = jnp.sqrt(jnp.maximum(ms, 0.0))

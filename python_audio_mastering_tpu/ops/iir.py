@@ -241,10 +241,24 @@ def _rem_operators_static(sos_bytes, k, rem):
     ``rem``-step ``lax.scan`` tail that used to dominate streamed-chunk
     state finalization (~500 sequential steps per filter per chunk).
     Returns ``(a_rem (S, S), g_rem (rem, S))`` in float64.
+
+    Built directly from the cached state space rather than through
+    ``_blocked_operators_static``: the full block-operator build makes an
+    unneeded ``(rem, rem)`` Toeplitz, and inserting one entry per distinct
+    remainder length into that small shared LRU would evict the hot
+    block-size operators in a long-running worker.
     """
-    t_mat, g, w, al = _blocked_operators_static(sos_bytes, k, max(rem, 1))
-    # reuse the length-rem operator build: G of block length rem IS
-    # Σ A^{rem-1-j} B laid out per position, and AL of length rem is A^rem.
+    import numpy as onp
+
+    a, b, _, _ = _state_space_static(sos_bytes, k)
+    s_dim = a.shape[0]
+    r = max(rem, 1)
+    powers = onp.empty((r, s_dim, s_dim))
+    powers[0] = onp.eye(s_dim)
+    for t in range(1, r):
+        powers[t] = a @ powers[t - 1]
+    al = a @ powers[r - 1]             # A^rem
+    g = (powers @ b)[::-1].copy()      # g[j] = A^{rem-1-j} B
     return al, g
 
 

@@ -254,9 +254,7 @@ def master_album_streamed(tracks: Sequence[np.ndarray], params,
     # Channel-major hot path (same gate as streaming.master_streamed):
     # device layout is (tracks, C, frames) so each vmapped per-track body
     # runs the folded-rows TPU form with zero per-op layout copies.
-    cm = (config.layout != "nc" and config.variant == "worker"
-          and config.filter_method in ("auto", "blocked")
-          and chunk_frames >= 4 * 512)
+    cm = config.channel_major(chunk_frames)
     tax = 2 if cm else 1  # time axis of device-side batched chunks
 
     state = strm.StreamState()  # replaced by per-track states after chunk 0

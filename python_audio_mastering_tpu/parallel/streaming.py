@@ -452,9 +452,7 @@ def master_streamed(audio, params: MasteringParams, config: ChainConfig,
     # live on device as (C, chunk_frames) and the whole per-chunk body runs
     # the folded-rows TPU form — the host transposes once per file (cheap
     # next to the link), not the device once per op.
-    cm = (config.layout != "nc" and config.variant == "worker"
-          and config.filter_method in ("auto", "blocked")
-          and chunk_frames >= 4 * 512)
+    cm = config.channel_major(chunk_frames)
     tax = 1 if cm else 0  # time axis of device-side chunks
 
     def to_wire(arr):

@@ -199,3 +199,32 @@ def test_conform_album_max_rate_policy():
     # track untouched
     assert abs(tracks[0].shape[0] - int(11025 * 48000 / 22050)) <= 2
     np.testing.assert_array_equal(tracks[1], hi)
+
+
+def test_meters_summary_silent_track_is_strict_json():
+    """Silence gates to -inf LUFS; the sidecar/API payload must stay
+    strict-JSON parseable (json.dumps would otherwise emit the
+    non-standard ``-Infinity`` token that browsers' response.json()
+    rejects) — every non-finite value becomes null."""
+    import json
+
+    import numpy as np
+
+    from python_audio_mastering_tpu import engine
+
+    s = engine.meters_summary({
+        "integrated_lufs": float("-inf"),
+        "lra_lu": float("nan"),
+        "true_peak_dbtp": float("-inf"),
+        "momentary_lufs": np.array([-np.inf, -np.inf]),
+        "short_term_lufs": np.array([]),
+    })
+    blob = json.dumps(s)
+
+    def _reject(tok):
+        raise ValueError(f"non-standard JSON token {tok}")
+
+    parsed = json.loads(blob, parse_constant=_reject)  # strict parser
+    assert parsed == {"integrated_lufs": None, "lra_lu": None,
+                      "true_peak_dbtp": None, "max_momentary_lufs": None,
+                      "max_short_term_lufs": None}
