@@ -39,6 +39,8 @@ __all__ = [
     "sosfilt_blocked",
     "sosfilt_blocked_cm",
     "sosfilt_blocked_multi_cm",
+    "sosfilt_blocked_rows",
+    "sosfilt_blocked_multi_rows",
     "sosfilt",
     "cascade_state_space",
     "zi_to_state",
@@ -653,30 +655,40 @@ def sosfilt_blocked_multi(sos_list, x, zi_list=None, block_size=512,
 # the per-row contractions are the same sums in the same order.
 
 
-def _blocked_cm_run(ops, statics, xT, s0s, L, return_state, sos_list=None):
-    """Core channel-major blocked runner: F filters over one rows view.
+def _blocked_rows_run(ops, statics, xrows, s0s, L, return_state,
+                      sos_list=None, n_valid=None):
+    """Core blocked runner over a ROWS-form signal: F filters, no relayouts.
+
+    The rows form ``(C, nb, L)`` is the chain's TPU-resident layout: the
+    ``(C·nb, L)`` flatten feeding each MXU dot is a pure dimension merge
+    (same physical tiling), so a filter pass reads the signal and writes its
+    output with ZERO layout-change copies.  (The ``(C, N)`` channel-major
+    form, by contrast, pays a full-signal relayout into and out of every
+    blocked pass — measured 60.6 MB per copy on a 3-min stereo track, ~40 %
+    of the whole chain's HBM writes before this refactor.)
 
     Args:
-      ops: per-filter ``(t_mat, g, w, al)`` operator tuples (jnp, xT.dtype).
+      ops: per-filter ``(t_mat, g, w, al)`` operator tuples (jnp, dtype).
       statics: per-filter float64 numpy sos, or None for traced coefficients.
-      xT: ``(C, N)`` channel-major signal.
+      xrows: ``(C, nb, L)`` rows-form signal (zero-padded past ``n_valid``).
       s0s: per-filter ``(S_f, C)`` cascade states.
       sos_list: per-filter ``(K, 6)`` coefficient arrays (traced OK) — used
         only to evolve the final state through a partial last block.
+      n_valid: real sample count (static).  ``None`` means all ``nb·L``
+        samples are valid.
 
-    Returns ``(ysT, s_finals)``: per-filter ``(C, N)`` outputs and final
-    cascade states ``(S_f, C)``.
+    Returns ``(yrows, s_finals)``: per-filter ``(C, nb, L)`` outputs and
+    final cascade states ``(S_f, C)``.
     """
-    c, n = xT.shape
-    nb = -(-n // L)
-    pad = nb * L - n
-    rows = jnp.pad(xT, ((0, 0), (0, pad))).reshape(c * nb, L)
+    c, nb, _ = xrows.shape
+    rows = xrows.reshape(c * nb, L)
+    pad = 0 if n_valid is None else nb * L - n_valid
 
     # one shared read of the signal for every filter's state summaries
     g_cat = jnp.concatenate([g for (_, g, _, _) in ops], axis=1)
     tv_cat = jnp.dot(rows, g_cat, precision=_HIGHEST)  # (C·nb, ΣS_f)
 
-    ysT, s_finals = [], []
+    yrows, s_finals = [], []
     col = 0
     for f, (t_mat, g, w, al) in enumerate(ops):
         s_dim = al.shape[0]
@@ -685,7 +697,7 @@ def _blocked_cm_run(ops, statics, xT, s0s, L, return_state, sos_list=None):
         if statics[f] is not None:
             s_in, s_last = jax.vmap(
                 lambda tvc, s0c, _st=statics[f], _al=al: _boundary_states_static(
-                    tvc, s0c, _st, L, nb, _al, xT.dtype),
+                    tvc, s0c, _st, L, nb, _al, rows.dtype),
                 in_axes=(0, 1), out_axes=(0, 1))(tv, s0s[f])
         else:
             s_in, s_last = jax.vmap(
@@ -695,7 +707,7 @@ def _blocked_cm_run(ops, statics, xT, s0s, L, return_state, sos_list=None):
         # s_in: (C, nb, S); s_last: (S, C)
         y = jnp.dot(rows, t_mat, precision=_HIGHEST) + \
             jnp.dot(s_in.reshape(c * nb, s_dim), w.T, precision=_HIGHEST)
-        ysT.append(y.reshape(c, nb * L)[:, :n])
+        yrows.append(y.reshape(c, nb, L))
 
         if not return_state:
             s_finals.append(s0s[f])
@@ -705,17 +717,93 @@ def _blocked_cm_run(ops, statics, xT, s0s, L, return_state, sos_list=None):
             # evolve the last block's incoming state through its valid
             # samples only (padded zeros must not advance the state):
             # one affine update, not a rem-step scan
-            rem = n - (nb - 1) * L
-            x_last = rows.reshape(c, nb, L)[:, -1, :rem]  # (C, rem)
+            rem = n_valid - (nb - 1) * L
+            x_last = xrows[:, -1, :rem]                   # (C, rem)
             s_in_last = s_in[:, -1].T                     # (S, C)
             if statics[f] is not None:
                 s_f = _final_state_static(s_in_last, x_last, statics[f],
-                                          rem, xT.dtype)
+                                          rem, rows.dtype)
             else:
                 s_f = _final_state_traced(s_in_last, x_last, sos_list[f],
                                           g, L, rem)
             s_finals.append(s_f)
+    return yrows, s_finals
+
+
+def _blocked_cm_run(ops, statics, xT, s0s, L, return_state, sos_list=None):
+    """Channel-major wrapper over :func:`_blocked_rows_run`.
+
+    Pads ``(C, N)`` to a block multiple, runs the rows core, and flattens
+    each output back to ``(C, N)``.  Kept for callers that hold the signal
+    channel-major between ops (streaming chunks); the one-shot chain body
+    stays in rows form end-to-end instead (models/chain._master_cm).
+    """
+    c, n = xT.shape
+    nb = -(-n // L)
+    pad = nb * L - n
+    xrows = jnp.pad(xT, ((0, 0), (0, pad))).reshape(c, nb, L)
+    yrows, s_finals = _blocked_rows_run(ops, statics, xrows, s0s, L,
+                                        return_state, sos_list=sos_list,
+                                        n_valid=n)
+    ysT = [y.reshape(c, nb * L)[:, :n] for y in yrows]
     return ysT, s_finals
+
+
+def sosfilt_blocked_rows(sos, xrows, zi=None, n_valid=None,
+                         return_state=True):
+    """Single-cascade blocked filter over a ROWS-form ``(C, nb, L)`` signal.
+
+    The rows form is the chain's TPU-resident layout (see
+    :func:`_blocked_rows_run`): input and output stay ``(C, nb, L)``, so a
+    chain of filter/elementwise ops pays zero layout-change copies between
+    stages.  ``n_valid`` (static) marks the real sample count when the
+    signal is zero-padded past it — used only to stop the returned state
+    from advancing through padding.  Traced coefficients are supported (the
+    EQ path).  Returns ``(yrows, zf)`` with ``zf`` in scipy layout.
+    """
+    c, nb, L = xrows.shape
+    static_sos = None
+    if isinstance(sos, np.ndarray):
+        static_sos = np.asarray(sos, np.float64)
+    elif isinstance(sos, jax.Array) and not isinstance(sos, jax.core.Tracer):
+        static_sos = np.asarray(sos, np.float64)
+    if static_sos is not None:
+        o = _blocked_operators_static(static_sos.tobytes(),
+                                      static_sos.shape[0], L)
+        ops = [tuple(jnp.asarray(m, xrows.dtype) for m in o)]
+        k = static_sos.shape[0]
+    else:
+        sos = _as_sos(sos, xrows.dtype)
+        ops = [_blocked_operators(sos, L)]
+        k = sos.shape[0]
+    s0s = _cm_states([k], None if zi is None else [zi], c, xrows.dtype)
+    yrows, s_ts = _blocked_rows_run(ops, [static_sos], xrows, s0s, L,
+                                    return_state, sos_list=[sos],
+                                    n_valid=n_valid)
+    return yrows[0], state_to_zi(s_ts[0], k)
+
+
+def sosfilt_blocked_multi_rows(sos_list, xrows, zi_list=None, n_valid=None,
+                               return_state=True):
+    """F static SOS cascades over one ROWS-form ``(C, nb, L)`` signal.
+
+    Rows-form counterpart of :func:`sosfilt_blocked_multi_cm` — the
+    crossover/K-weighting fast path inside the rows-resident chain body.
+    Coefficients must be concrete host arrays.  Returns tuples of
+    per-filter ``(C, nb, L)`` outputs and scipy-layout states.
+    """
+    c, nb, L = xrows.shape
+    statics = [np.asarray(s, np.float64) for s in sos_list]
+    ops = []
+    for s in statics:
+        o = _blocked_operators_static(s.tobytes(), s.shape[0], L)
+        ops.append(tuple(jnp.asarray(m, xrows.dtype) for m in o))
+    s0s = _cm_states([s.shape[0] for s in statics], zi_list, c, xrows.dtype)
+    yrows, s_ts = _blocked_rows_run(ops, statics, xrows, s0s, L,
+                                    return_state, n_valid=n_valid)
+    zfs = [state_to_zi(s_t, statics[f].shape[0])
+           for f, s_t in enumerate(s_ts)]
+    return tuple(yrows), tuple(zfs)
 
 
 def _cm_states(sos_shapes, zi_list, c, dtype):

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import dataclasses
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -34,9 +35,11 @@ __all__ = [
     "kweight_sos",
     "integrated_loudness",
     "integrated_loudness_cm",
+    "integrated_loudness_rows",
     "normalize_to_lufs",
     "block_cell_energies",
     "block_cell_energies_cm",
+    "block_cell_energies_rows",
     "loudness_from_cells",
     "BlockEnergyAccumulator",
 ]
@@ -130,6 +133,58 @@ def block_cell_energies_cm(xT, sample_rate, zi=None, valid_frames=None):
     return cell_ms, cell_mask, zf
 
 
+def block_cell_energies_rows(xrows, sample_rate, valid_frames=None):
+    """Rows-form :func:`block_cell_energies`: ``xrows`` is ``(C, nb, L)``.
+
+    The K-filter runs in the rows-resident blocked form (zero layout-change
+    copies — see ``ops.iir.sosfilt_blocked_rows``) and the 100 ms cell sums
+    are computed WITHOUT unfolding the rows: ``kx²`` is bucket-summed along
+    the lane axis by one MXU dot at hop ``h = gcd(cell, L)`` (64 at 48 kHz,
+    2 at 44.1 kHz), and cells — whose length is a multiple of ``h`` — are
+    then exact sums of the ``h``-buckets.  This replaces the
+    ``(C, N) → (C, n_cells, cell)`` reshape of the channel-major path,
+    whose 4410-minor tiling forced a full-signal relayout copy.
+
+    Returns ``(cell_ms (num_cells, C), cell_mask or None)``.
+    """
+    import math
+
+    c, nb, L = xrows.shape
+    n = nb * L
+    cell, _ = _gating_geometry(sample_rate)
+    kx, _ = iir.sosfilt_blocked_rows(kweight_sos(sample_rate), xrows,
+                                     return_state=False)
+    h = math.gcd(cell, L)
+    n_cells = n // cell
+    if h > 1:
+        ones = jnp.asarray(np.kron(np.eye(L // h), np.ones((h, 1))),
+                           xrows.dtype)  # (L, L//h) bucket matrix
+        z2 = (kx * kx).reshape(c * nb, L)
+        buck = jax.lax.dot_general(
+            z2, ones, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST)  # (C·nb, L//h)
+        per_cell = cell // h
+        cells = buck.reshape(c, n // h)[:, : n_cells * per_cell]
+        cell_ms = cells.reshape(c, n_cells, per_cell).sum(axis=2).T / cell
+    else:  # pragma: no cover - no common divisor (exotic rate/block combo)
+        z = kx.reshape(c, n)[:, : n_cells * cell] ** 2
+        cell_ms = z.reshape(c, n_cells, cell).mean(axis=2).T
+    cell_mask = None
+    if valid_frames is not None:
+        cell_mask = jnp.arange(n_cells) < (valid_frames // cell)
+    return cell_ms, cell_mask
+
+
+def integrated_loudness_rows(xrows, sample_rate, downmix="bs1770",
+                             valid_frames=None):
+    """Rows-form :func:`integrated_loudness` (``xrows`` is ``(C, nb, L)``)."""
+    if downmix == "reference_mono_mean":
+        xrows = xrows.mean(axis=0, keepdims=True)
+    cell_ms, cell_mask = block_cell_energies_rows(
+        xrows, sample_rate, valid_frames=valid_frames)
+    return loudness_from_cells(cell_ms, cell_mask=cell_mask)
+
+
 def integrated_loudness_cm(xT, sample_rate, downmix="bs1770",
                            valid_frames=None):
     """Channel-major :func:`integrated_loudness` (``xT`` is ``(C, N)``)."""
@@ -216,12 +271,18 @@ def normalize_to_lufs(x, sample_rate, target_lufs=-14.0, downmix="reference_mono
         loudness = integrated_loudness(x, sample_rate, downmix=downmix,
                                        filter_method=filter_method,
                                        valid_frames=valid_frames)
-    gain_db = jnp.asarray(target_lufs, dtype=x.dtype) - loudness
-    gain = 10.0 ** (gain_db / 20.0)
-    # A silent/gated-out input measures -inf → infinite gain; pass through
-    # unchanged instead (the reference would blow up here, engine:220-222).
-    gain = jnp.where(jnp.isfinite(loudness), gain, 1.0)
+    gain = gain_for_target(loudness, target_lufs, x.dtype)
     return x * gain, loudness, gain
+
+
+def gain_for_target(loudness, target_lufs, dtype):
+    """Linear gain that moves ``loudness`` to ``target_lufs``.
+
+    A silent/gated-out input measures −inf → infinite gain; pass through
+    unchanged instead (the reference would blow up here, engine:220-222).
+    """
+    gain = 10.0 ** ((jnp.asarray(target_lufs, dtype=dtype) - loudness) / 20.0)
+    return jnp.where(jnp.isfinite(loudness), gain, 1.0)
 
 
 @dataclasses.dataclass

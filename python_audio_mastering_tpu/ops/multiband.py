@@ -32,7 +32,8 @@ from python_audio_mastering_tpu.ops import compressor as comp
 from python_audio_mastering_tpu.ops import iir
 from python_audio_mastering_tpu.ops.biquad import butter_sos
 
-__all__ = ["crossover_split", "multiband_compress", "BAND_BALLISTICS_MS",
+__all__ = ["crossover_split", "multiband_compress",
+           "multiband_compress_rows", "BAND_BALLISTICS_MS",
            "detector_stats_fused"]
 
 # (attack_ms, release_ms) per band, fixed in the reference (engine:207-209).
@@ -177,14 +178,10 @@ def detector_stats_fused(x, low, high, sample_rate, thresholds_db, ratios,
 
     Returns ``(stats dict of (T, 3) arrays, new_ctrl_tail (3, look_ctrl))``.
     """
-    from python_audio_mastering_tpu.ops.compressor import cumsum_mxu
-
     time_ax = 1 if channel_major else 0
     n = x.shape[time_ax]
     dt = x.dtype
     t = -(-n // hop)
-    attacks = tuple(a for a, _ in BAND_BALLISTICS_MS)
-    releases = tuple(r for _, r in BAND_BALLISTICS_MS)
     look_ctrl = detector_lookpad(sample_rate, hop) // hop
 
     mid = x - low - high  # fused into the reduction; never an output
@@ -197,6 +194,21 @@ def detector_stats_fused(x, low, high, sample_rate, thresholds_db, ratios,
         xb = jnp.stack([
             jnp.pad(r, (0, t * hop - n)).reshape(t, hop).sum(-1)
             for r in rows])
+    return _fused_stats_from_ctrl(xb, t, sample_rate, thresholds_db, ratios,
+                                  hop, ctrl_tail, look_ctrl, dt)
+
+
+def _fused_stats_from_ctrl(xb, t, sample_rate, thresholds_db, ratios, hop,
+                           ctrl_tail, look_ctrl, dt):
+    """Shared tail of the fused detector: windowed means + gain computer.
+
+    ``xb``: ``(3, t)`` hop-bucketed x² sums per band (low, mid, high).
+    Returns ``(stats dict of (t, 3) arrays, new_ctrl_tail (3, look_ctrl))``.
+    """
+    from python_audio_mastering_tpu.ops.compressor import cumsum_mxu
+
+    attacks = tuple(a for a, _ in BAND_BALLISTICS_MS)
+    releases = tuple(r for _, r in BAND_BALLISTICS_MS)
     offset = 0
     ext = xb
     if ctrl_tail is not None:
@@ -233,6 +245,102 @@ def detector_stats_fused(x, low, high, sample_rate, thresholds_db, ratios,
     else:
         new_tail = jnp.zeros((3, 0), dt)
     return stats, new_tail
+
+
+def _run_ballistics(stacked, sample_rate, hop, ballistics, block_ctrl,
+                    overlap_ctrl, att0):
+    """Dispatch the fused 3-band attack/release recurrence.
+
+    ``"auto"`` prefers the exact Pallas kernel on TPU, else the blocked
+    formulation when a control-rate block size is configured, else the
+    exact scan.  Returns ``(att (T, 3), att_final (3,))``.
+    """
+    if ballistics == "auto":
+        from python_audio_mastering_tpu.ops import pallas_kernels as pk
+
+        ballistics = "pallas" if pk.available() else (
+            "blocked" if block_ctrl is not None else "scan")
+    if ballistics == "pallas":
+        from python_audio_mastering_tpu.ops import pallas_kernels as pk
+
+        dt = stacked["max_att"].dtype
+        ca = jnp.asarray([hop / max(a * sample_rate / 1000.0, 1.0)
+                          for a, _ in BAND_BALLISTICS_MS], dt)
+        cr = jnp.asarray([hop / max(r * sample_rate / 1000.0, 1.0)
+                          for _, r in BAND_BALLISTICS_MS], dt)
+        return pk.ballistics_pallas_rates(stacked["max_att"], ca, cr, att0)
+    if ballistics == "blocked" and block_ctrl is not None:
+        if overlap_ctrl is None:
+            overlap_ctrl = comp._default_overlap(sample_rate, 200.0, hop)
+        return comp.attenuation_blocked(stacked, block_ctrl, overlap_ctrl,
+                                        att0)
+    return comp.attenuation_scan(stacked, att0)
+
+
+def multiband_compress_rows(xrows, sample_rate, thresholds_db, ratios,
+                            low_crossover=250.0, high_crossover=4000.0,
+                            hop=1, block_ctrl=None, overlap_ctrl=None,
+                            ballistics="auto"):
+    """Fused worker-variant 3-band compressor over ROWS-form ``(C, nb, L)``.
+
+    The one-shot chain hot path (models/chain._master_rows): crossovers run
+    in the rows-resident blocked form, the detector's per-band x² energies
+    reduce straight from rows to the control rate (one MXU bucket dot — no
+    flatten relayout), and the control-rate gains upsample directly back
+    into rows form.  Stateless (streaming chunks use the channel-major
+    path, which carries state).  Same numerics as the fused channel-major
+    path on the same padded signal.
+    """
+    c, nb, L = xrows.shape
+    n = nb * L
+    dt = xrows.dtype
+    lp_sos, hp_sos = _crossover_sos(sample_rate, low_crossover,
+                                    high_crossover)
+    (low, high), _ = iir.sosfilt_blocked_multi_rows(
+        (lp_sos, hp_sos), xrows, return_state=False)
+
+    # detector: mean over channels, hop-bucket along the lane axis
+    mid = xrows - low - high  # fused into the reduction; never an output
+    erows = [(b * b).mean(axis=0) for b in (low, mid, high)]  # (nb, L)
+    if hop > 1 and L % hop == 0:
+        s = jnp.asarray(_bucket_matrix(L, hop), dt)
+        xb = jnp.stack([
+            jax.lax.dot_general(r, s, (((1,), (0,)), ((), ())),
+                                precision=jax.lax.Precision.HIGHEST
+                                ).reshape(n // hop)
+            for r in erows])
+    else:
+        t_full = -(-n // hop)
+        xb = jnp.stack([
+            jnp.pad(r.reshape(n), (0, t_full * hop - n)
+                    ).reshape(t_full, hop).sum(-1)
+            for r in erows]) if hop > 1 else jnp.stack(
+            [r.reshape(n) for r in erows])
+    t = xb.shape[1]
+    look_ctrl = detector_lookpad(sample_rate, hop) // hop
+    stacked, _ = _fused_stats_from_ctrl(
+        xb, t, sample_rate, thresholds_db, ratios, hop, None, look_ctrl, dt)
+
+    att, _ = _run_ballistics(stacked, sample_rate, hop, ballistics,
+                             block_ctrl, overlap_ctrl, None)
+    gains = 10.0 ** (-att / 20.0)  # (T, 3) control-rate
+
+    # y = x·g_mid + low·(g_low − g_mid) + high·(g_high − g_mid), with the
+    # three control-rate columns upsampled straight into rows form
+    cols = jnp.stack([gains[:, 1], gains[:, 0] - gains[:, 1],
+                      gains[:, 2] - gains[:, 1]], axis=1)  # (T, 3)
+    if hop > 1 and L % hop == 0:
+        u = jnp.asarray(_bucket_matrix(L, hop).T, dt)  # (L//hop, L)
+        grows = jax.lax.dot_general(
+            cols.T.reshape(3 * nb, L // hop), u, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST).reshape(3, nb, L)
+    elif hop > 1:
+        full = jnp.repeat(cols.T, hop, axis=1)[:, :n]
+        grows = full.reshape(3, nb, L)
+    else:
+        grows = cols.T.reshape(3, nb, L)
+    gm, dl, dh = grows[0][None], grows[1][None], grows[2][None]
+    return xrows * gm + low * dl + high * dh
 
 
 def multiband_compress(x, sample_rate, thresholds_db, ratios, variant="worker",
@@ -339,27 +447,8 @@ def multiband_compress(x, sample_rate, thresholds_db, ratios, variant="worker",
         stacked = {k: v[skip_ctrl:] for k, v in stacked.items()}
 
     # Ballistics: ONE pass, (3,)-vector carry.
-    att0 = state.get("att")
-    if ballistics == "auto":
-        from python_audio_mastering_tpu.ops import pallas_kernels as pk
-
-        ballistics = "pallas" if pk.available() else (
-            "blocked" if block_ctrl is not None else "scan")
-    if ballistics == "pallas":
-        from python_audio_mastering_tpu.ops import pallas_kernels as pk
-
-        dt = stacked["max_att"].dtype
-        ca = jnp.asarray([hop / max(a * sample_rate / 1000.0, 1.0)
-                          for a, _ in BAND_BALLISTICS_MS], dt)
-        cr = jnp.asarray([hop / max(r * sample_rate / 1000.0, 1.0)
-                          for _, r in BAND_BALLISTICS_MS], dt)
-        att, att_f = pk.ballistics_pallas_rates(stacked["max_att"], ca, cr, att0)
-    elif ballistics == "blocked" and block_ctrl is not None:
-        if overlap_ctrl is None:
-            overlap_ctrl = comp._default_overlap(sample_rate, 200.0, hop)
-        att, att_f = comp.attenuation_blocked(stacked, block_ctrl, overlap_ctrl, att0)
-    else:
-        att, att_f = comp.attenuation_scan(stacked, att0)
+    att, att_f = _run_ballistics(stacked, sample_rate, hop, ballistics,
+                                 block_ctrl, overlap_ctrl, state.get("att"))
 
     gains = 10.0 ** (-att / 20.0)  # (T, 3) control-rate
 

@@ -159,3 +159,28 @@ def test_multiband_streamed_short_final_chunk_keeps_fused_state():
     assert st2.get("ctrl_tail") is not None
     streamed = np.concatenate([np.asarray(y1), np.asarray(y2)])
     np.testing.assert_allclose(streamed, one_shot, rtol=1e-5, atol=1e-6)
+
+
+def test_multiband_rows_matches_channel_major():
+    """multiband_compress_rows (the one-shot chain hot path) must equal the
+    fused channel-major path on the same block-aligned signal — for both
+    the exact hop=1 contract and the bucketed hop-8 + blocked-ballistics
+    TPU profile."""
+    import jax.numpy as jnp
+
+    fs, L = 44100, 512
+    n = 48 * L
+    x = make_signal(n, channels=2) * 0.5
+    xT = jnp.asarray(x.T)
+    xrows = xT.reshape(2, n // L, L)
+    kw = dict(thresholds_db=(-25.0, -20.0, -15.0), ratios=(6.0, 3.0, 4.0))
+    for hop, block_ctrl, ballistics in [(1, None, "scan"),
+                                        (8, 2048, "blocked")]:
+        ref = np.asarray(multiband.multiband_compress(
+            xT, fs, variant="worker", filter_method="blocked",
+            hop=hop, block_ctrl=block_ctrl, ballistics=ballistics,
+            channel_major=True, **kw))
+        got = np.asarray(multiband.multiband_compress_rows(
+            xrows, fs, hop=hop, block_ctrl=block_ctrl,
+            ballistics=ballistics, **kw)).reshape(2, n)
+        np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-8)

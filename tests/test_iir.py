@@ -156,3 +156,43 @@ def test_blocked_multi_matches_individual_passes():
                                rtol=1e-8, atol=1e-10)
     np.testing.assert_allclose(np.asarray(zf_hp), np.asarray(zf_hp_ref),
                                rtol=1e-8, atol=1e-10)
+
+
+def test_blocked_rows_matches_blocked_cm():
+    """The rows-form entry points (the chain's TPU-resident layout) must
+    equal the channel-major wrappers exactly: same contractions, the rows
+    form only skips the (C, N) relayouts.  Covers single-cascade (traced
+    coefficients), multi-filter (static), padded n_valid state evolution."""
+    import jax.numpy as jnp
+
+    L = 512
+    n, c = 9_700, 2            # nb = 19, ragged final block (pad 28)
+    nb = -(-n // L)
+    x = make_signal(n, channels=c)
+    xT = jnp.asarray(x.T)
+    xrows = jnp.pad(xT, ((0, 0), (0, nb * L - n))).reshape(c, nb, L)
+
+    # single cascade, traced coefficients (the EQ path)
+    sos = jnp.asarray(_eq_cascade())
+    y_cm, zf_cm = iir.sosfilt_blocked_cm(sos, xT, block_size=L)
+    y_rows, zf_rows = iir.sosfilt_blocked_rows(sos, xrows, n_valid=n)
+    np.testing.assert_allclose(
+        np.asarray(y_rows.reshape(c, nb * L)[:, :n]), np.asarray(y_cm),
+        rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(zf_rows), np.asarray(zf_cm),
+                               rtol=1e-8, atol=1e-10)
+
+    # multi-filter, static coefficients (the crossover path)
+    lp = biquad.butter_sos(4, 250, "lowpass", fs=44100)
+    hp = biquad.butter_sos(4, 4000, "highpass", fs=44100)
+    (lo_cm, hi_cm), (zl_cm, zh_cm) = iir.sosfilt_blocked_multi_cm(
+        (lp, hp), xT, block_size=L)
+    (lo_r, hi_r), (zl_r, zh_r) = iir.sosfilt_blocked_multi_rows(
+        (lp, hp), xrows, n_valid=n)
+    for got, ref in [(lo_r, lo_cm), (hi_r, hi_cm)]:
+        np.testing.assert_allclose(
+            np.asarray(got.reshape(c, nb * L)[:, :n]), np.asarray(ref),
+            rtol=1e-9, atol=1e-11)
+    for got, ref in [(zl_r, zl_cm), (zh_r, zh_cm)]:
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-8, atol=1e-10)

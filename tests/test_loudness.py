@@ -103,3 +103,24 @@ def test_float32_accuracy_within_baseline():
     ours = float(loudness.integrated_loudness(x, fs))
     ref = bs1770_ref.integrated_loudness(x.astype(np.float64), fs)
     assert abs(ours - ref) < 0.02
+
+
+def test_rows_form_loudness_matches_cm():
+    """The rows-resident meter (MXU bucket cell sums) must match the
+    channel-major path to float accumulation noise, including the
+    valid-frames mask on a padded block-aligned signal."""
+    import jax.numpy as jnp
+
+    fs, L = 44100, 512
+    n = int(fs * 2.5)
+    nb = -(-n // L)
+    x = make_signal(n, channels=2) * 0.3
+    xT = jnp.asarray(x.T)
+    xrows = jnp.pad(xT, ((0, 0), (0, nb * L - n))).reshape(2, nb, L)
+    for downmix in ("reference_mono_mean", "bs1770"):
+        ref = float(loudness.integrated_loudness_cm(
+            jnp.pad(xT, ((0, 0), (0, nb * L - n))), fs, downmix=downmix,
+            valid_frames=n))
+        got = float(loudness.integrated_loudness_rows(
+            xrows, fs, downmix=downmix, valid_frames=n))
+        assert abs(got - ref) < 1e-6, (downmix, got, ref)
