@@ -133,7 +133,8 @@ def block_cell_energies_cm(xT, sample_rate, zi=None, valid_frames=None):
     return cell_ms, cell_mask, zf
 
 
-def block_cell_energies_rows(xrows, sample_rate, valid_frames=None):
+def block_cell_energies_rows(xrows, sample_rate, zi=None, valid_frames=None,
+                             return_state=False):
     """Rows-form :func:`block_cell_energies`: ``xrows`` is ``(C, nb, L)``.
 
     The K-filter runs in the rows-resident blocked form (zero layout-change
@@ -145,15 +146,18 @@ def block_cell_energies_rows(xrows, sample_rate, valid_frames=None):
     ``(C, N) → (C, n_cells, cell)`` reshape of the channel-major path,
     whose 4410-minor tiling forced a full-signal relayout copy.
 
-    Returns ``(cell_ms (num_cells, C), cell_mask or None)``.
+    ``zi``/``return_state``: carried K-filter state for chunked streaming
+    (chunk lengths are cell multiples there, so cells concatenate exactly).
+
+    Returns ``(cell_ms (num_cells, C), cell_mask or None, zf)``.
     """
     import math
 
     c, nb, L = xrows.shape
     n = nb * L
     cell, _ = _gating_geometry(sample_rate)
-    kx, _ = iir.sosfilt_blocked_rows(kweight_sos(sample_rate), xrows,
-                                     return_state=False)
+    kx, zf = iir.sosfilt_blocked_rows(kweight_sos(sample_rate), xrows,
+                                      zi=zi, return_state=return_state)
     h = math.gcd(cell, L)
     n_cells = n // cell
     if h > 1:
@@ -172,7 +176,7 @@ def block_cell_energies_rows(xrows, sample_rate, valid_frames=None):
     cell_mask = None
     if valid_frames is not None:
         cell_mask = jnp.arange(n_cells) < (valid_frames // cell)
-    return cell_ms, cell_mask
+    return cell_ms, cell_mask, zf
 
 
 def integrated_loudness_rows(xrows, sample_rate, downmix="bs1770",
@@ -180,7 +184,7 @@ def integrated_loudness_rows(xrows, sample_rate, downmix="bs1770",
     """Rows-form :func:`integrated_loudness` (``xrows`` is ``(C, nb, L)``)."""
     if downmix == "reference_mono_mean":
         xrows = xrows.mean(axis=0, keepdims=True)
-    cell_ms, cell_mask = block_cell_energies_rows(
+    cell_ms, cell_mask, _ = block_cell_energies_rows(
         xrows, sample_rate, valid_frames=valid_frames)
     return loudness_from_cells(cell_ms, cell_mask=cell_mask)
 

@@ -280,24 +280,31 @@ def _run_ballistics(stacked, sample_rate, hop, ballistics, block_ctrl,
 def multiband_compress_rows(xrows, sample_rate, thresholds_db, ratios,
                             low_crossover=250.0, high_crossover=4000.0,
                             hop=1, block_ctrl=None, overlap_ctrl=None,
-                            ballistics="auto"):
+                            ballistics="auto", state=None,
+                            return_state=False):
     """Fused worker-variant 3-band compressor over ROWS-form ``(C, nb, L)``.
 
-    The one-shot chain hot path (models/chain._master_rows): crossovers run
-    in the rows-resident blocked form, the detector's per-band x² energies
-    reduce straight from rows to the control rate (one MXU bucket dot — no
-    flatten relayout), and the control-rate gains upsample directly back
-    into rows form.  Stateless (streaming chunks use the channel-major
-    path, which carries state).  Same numerics as the fused channel-major
-    path on the same padded signal.
+    The chain/streaming hot path (models/chain._master_cm and the rows
+    branch of streaming._fx_chunk): crossovers run in the rows-resident
+    blocked form, the detector's per-band x² energies reduce straight from
+    rows to the control rate (one MXU bucket dot — no flatten relayout),
+    and the control-rate gains upsample directly back into rows form.
+    ``state``/``return_state``: the same ``{"crossover", "att",
+    "ctrl_tail"}`` carried streaming state as the fused channel-major path
+    — the two layouts' states are interchangeable (scipy-layout zi +
+    control-rate scalars), so checkpoints resume across layouts.  Same
+    numerics as the fused channel-major path on the same padded signal.
     """
     c, nb, L = xrows.shape
     n = nb * L
     dt = xrows.dtype
+    state = state or {}
     lp_sos, hp_sos = _crossover_sos(sample_rate, low_crossover,
                                     high_crossover)
-    (low, high), _ = iir.sosfilt_blocked_multi_rows(
-        (lp_sos, hp_sos), xrows, return_state=False)
+    zi = state.get("crossover") or {}
+    (low, high), (z_lp, z_hp) = iir.sosfilt_blocked_multi_rows(
+        (lp_sos, hp_sos), xrows, (zi.get("lp"), zi.get("hp")),
+        return_state=return_state)
 
     # detector: mean over channels, hop-bucket along the lane axis
     mid = xrows - low - high  # fused into the reduction; never an output
@@ -318,11 +325,12 @@ def multiband_compress_rows(xrows, sample_rate, thresholds_db, ratios,
             [r.reshape(n) for r in erows])
     t = xb.shape[1]
     look_ctrl = detector_lookpad(sample_rate, hop) // hop
-    stacked, _ = _fused_stats_from_ctrl(
-        xb, t, sample_rate, thresholds_db, ratios, hop, None, look_ctrl, dt)
+    stacked, new_ctrl_tail = _fused_stats_from_ctrl(
+        xb, t, sample_rate, thresholds_db, ratios, hop,
+        state.get("ctrl_tail"), look_ctrl, dt)
 
-    att, _ = _run_ballistics(stacked, sample_rate, hop, ballistics,
-                             block_ctrl, overlap_ctrl, None)
+    att, att_f = _run_ballistics(stacked, sample_rate, hop, ballistics,
+                                 block_ctrl, overlap_ctrl, state.get("att"))
     gains = 10.0 ** (-att / 20.0)  # (T, 3) control-rate
 
     # y = x·g_mid + low·(g_low − g_mid) + high·(g_high − g_mid), with the
@@ -340,7 +348,11 @@ def multiband_compress_rows(xrows, sample_rate, thresholds_db, ratios,
     else:
         grows = cols.T.reshape(3, nb, L)
     gm, dl, dh = grows[0][None], grows[1][None], grows[2][None]
-    return xrows * gm + low * dl + high * dh
+    y = xrows * gm + low * dl + high * dh
+    if return_state:
+        return y, {"crossover": {"lp": z_lp, "hp": z_hp}, "att": att_f,
+                   "ctrl_tail": new_ctrl_tail}
+    return y
 
 
 def multiband_compress(x, sample_rate, thresholds_db, ratios, variant="worker",

@@ -126,8 +126,8 @@ def _compiled_album(config: ChainConfig):
 
     @functools.partial(jax.jit, static_argnames=("emit_i16",))
     def finalize(chunk, g, emit_i16=False):
-        y = limiter(chunk * g[:, None, None],
-                    threshold=config.limiter_threshold)
+        gb = g.reshape(g.shape + (1,) * (chunk.ndim - 1))
+        y = limiter(chunk * gb, threshold=config.limiter_threshold)
         return strm.requantize_pcm16(y) if emit_i16 else y
 
     @functools.partial(jax.jit,
@@ -253,9 +253,14 @@ def master_album_streamed(tracks: Sequence[np.ndarray], params,
 
     # Channel-major hot path (same gate as streaming.master_streamed):
     # device layout is (tracks, C, frames) so each vmapped per-track body
-    # runs the folded-rows TPU form with zero per-op layout copies.
+    # runs the folded-rows TPU form with zero per-op layout copies.  With
+    # block-aligned chunks (the default_chunk_frames production geometry)
+    # the layout is (tracks, C, nb, L) ROWS — no relayouts at all.
     cm = config.channel_major(chunk_frames)
+    rows = cm and chunk_frames % config.block_size == 0
+    blk = config.block_size
     tax = 2 if cm else 1  # time axis of device-side batched chunks
+    nch = batch.shape[2]
 
     state = strm.StreamState()  # replaced by per-track states after chunk 0
     processed = []
@@ -263,6 +268,9 @@ def master_album_streamed(tracks: Sequence[np.ndarray], params,
 
     def to_wire(arr):
         w = strm.quantize_pcm16(arr) if pcm16 else np.asarray(arr, dtype)
+        if rows:
+            return np.ascontiguousarray(w.transpose(0, 2, 1)).reshape(
+                w.shape[0], nch, -1, blk)
         return np.ascontiguousarray(w.transpose(0, 2, 1)) if cm else w
 
     # Keep the (small relative to HBM) input batch device-resident and slice
@@ -282,6 +290,10 @@ def master_album_streamed(tracks: Sequence[np.ndarray], params,
         x_dev = jax.device_put(to_wire(whole), sharding)
 
         def chunk_at(i):
+            if rows:  # slice whole blocks along the nb axis
+                cpb = chunk_frames // blk
+                return jax.lax.slice_in_dim(x_dev, i * cpb, (i + 1) * cpb,
+                                            axis=2)
             return jax.lax.slice_in_dim(x_dev, i * chunk_frames,
                                         (i + 1) * chunk_frames, axis=tax)
     else:
@@ -315,6 +327,9 @@ def master_album_streamed(tracks: Sequence[np.ndarray], params,
         _os.makedirs(checkpoint_dir, exist_ok=True)
         i0, state, processed, cells_list = strm._load_checkpoints(
             checkpoint_dir, num_chunks, dtype, layout="cn" if cm else "nc")
+        if rows:  # resumed chunks re-fold into the rows execution form
+            processed = [y.reshape(y.shape[0], nch, -1, blk)
+                         for y in processed]
         if need_cells:
             # checkpoints written by a no-lufs/no-meters run carry no cells
             cells_list, state = strm._rebuild_cells(
@@ -357,7 +372,7 @@ def master_album_streamed(tracks: Sequence[np.ndarray], params,
                     ckpt_futures.append(ckpt_pool.submit(
                         strm._save_checkpoint, checkpoint_dir, i,
                         list(seg_ys), state, list(seg_cells),
-                        layout="cn" if cm else "nc"))
+                        layout="cn" if cm else "nc", rows=rows))
                     seg_ys, seg_cells = [], []
             if progress_cb:
                 progress_cb(f"Processed chunk {i + 1}/{num_chunks} "
@@ -402,6 +417,8 @@ def master_album_streamed(tracks: Sequence[np.ndarray], params,
         rem = n - (num_chunks - 1) * chunk_frames
         finalized = []
         for i, y in enumerate(processed):
+            if rows:  # the limiter state machine is (N, C)-sequential
+                y = y.reshape(y.shape[0], nch, -1)
             if i == num_chunks - 1 and rem < chunk_frames:
                 y = jax.lax.slice_in_dim(y, 0, rem, axis=tax)
             o, lstate = finalize_la(y, gains, lstate, emit_i16=pcm16,
@@ -412,8 +429,12 @@ def master_album_streamed(tracks: Sequence[np.ndarray], params,
                            channel_major=cm)
         if o.shape[tax]:
             finalized.append(o)
+        fin_rows = False
     else:
+        # rows chunks stay rows through the elementwise finalize; padded
+        # tails past each track's length are masked/cut downstream
         finalized = [finalize(y, gains, emit_i16=pcm16) for y in processed]
+        fin_rows = rows
 
     tp_max = None
     if return_meters:
@@ -422,11 +443,13 @@ def master_album_streamed(tracks: Sequence[np.ndarray], params,
         tp_tail = jnp.zeros((batch.shape[0], 32, batch.shape[2]), dtype)
         startf = 0
         for fi, f in enumerate(finalized):
+            if fin_rows:
+                f = f.reshape(f.shape[0], nch, -1)
             tpv, tp_tail = tp_batched(tp_tail, f, jnp.asarray(startf),
                                       dev_lengths,
                                       last=(fi == len(finalized) - 1),
                                       channel_major=cm)
-            startf += f.shape[tax]
+            startf += f.shape[2 if cm else 1]
             tp_max = tpv if tp_max is None else jnp.maximum(tp_max, tpv)
     # Compute-phase barrier before the bulk readback (see h2d barrier note).
     _tiny_readback(finalized[-1])
@@ -439,11 +462,14 @@ def master_album_streamed(tracks: Sequence[np.ndarray], params,
             # label the phase honestly instead of calling it compute
             timings["h2d_plus_compute_s"] = _time.perf_counter() - t_start
         t_start = _time.perf_counter()
+    cat_ax = 2 if fin_rows else tax
     if device_resident:
         # one device-side concat, ONE host transfer for the whole album
-        out = np.asarray(jnp.concatenate(finalized, axis=tax))
+        out = np.asarray(jnp.concatenate(finalized, axis=cat_ax))
     else:
-        out = np.concatenate([np.asarray(y) for y in finalized], axis=tax)
+        out = np.concatenate([np.asarray(y) for y in finalized], axis=cat_ax)
+    if fin_rows:
+        out = out.reshape(out.shape[0], nch, -1)  # host-side unfold (free)
     out = (out.transpose(0, 2, 1) if cm else out)[:, :n]
     if timings is not None:
         timings["d2h_s"] = _time.perf_counter() - t_start

@@ -75,10 +75,24 @@ def default_chunk_frames(config: ChainConfig, seconds: float = 30.0) -> int:
     grids concatenate into exactly the one-shot grids (the blocked IIR
     handles any chunk length with an exact carried state).  Defaults to the
     reference's 30 s granularity (engine:48).
+
+    When the channel-major hot path is available AND the requested chunk
+    is long enough, the alignment additionally includes the IIR block size
+    so chunks are an exact multiple of ``block_size`` — the per-chunk body
+    then runs the rows-resident form (signal lives as ``(C, nb, L)``, zero
+    layout-change copies between stages; see ``models/chain._master_cm``).
+    At 44.1 kHz/512 this quantizes the default 30 s chunk to 25.6 s
+    (lcm(cell, hop, 512)); shorter requests fall back to cell/hop-only
+    alignment and the channel-major body.
     """
     cell = int(round(0.1 * config.sample_rate))
     align = int(np.lcm(cell, max(config.comp_hop, 1)))
     frames = int(seconds * config.sample_rate)
+    if (config.layout != "nc" and config.variant == "worker"
+            and config.filter_method in ("auto", "blocked")):
+        align_rows = int(np.lcm(align, config.block_size))
+        if frames >= max(align_rows, 4 * config.block_size):
+            return (frames // align_rows) * align_rows
     return max(align, (frames // align) * align)
 
 
@@ -124,6 +138,40 @@ def _fx_chunk(chunk, params, config: ChainConfig, state: StreamState,
     if jnp.issubdtype(x.dtype, jnp.integer):
         # pcm16 transfer path: dequantize on-device (first op fuses away)
         x = x.astype(config.jnp_dtype()) / PCM16_SCALE
+    if channel_major and x.ndim == 3:
+        # rows-resident chunk body: the chunk arrives as (C, nb, L) — the
+        # MXU-native tiling — and every stage below reads/writes it without
+        # a single layout-change copy (see models/chain._master_cm).  The
+        # carried states are identical to the channel-major body's
+        # (scipy-layout zi, control-rate tails), so the two layouts'
+        # checkpoints interchange.
+        from python_audio_mastering_tpu.models.chain import eq_sos
+        from python_audio_mastering_tpu.ops import iir
+
+        x = saturate(x, params.saturation)
+        sos = eq_sos(params, config.sample_rate).astype(x.dtype)
+        x, eq_zi = iir.sosfilt_blocked_rows(sos, x, zi=state.eq_zi)
+        x = stereo_width(x, params.width, channel_axis=0)
+        mb_state = state.mb
+        if params.multiband:
+            x, mb_state = multiband.multiband_compress_rows(
+                x, config.sample_rate,
+                thresholds_db=(params.low_thresh, params.mid_thresh,
+                               params.high_thresh),
+                ratios=(params.low_ratio, params.mid_ratio,
+                        params.high_ratio),
+                hop=config.comp_hop, block_ctrl=config.comp_block_ctrl,
+                overlap_ctrl=config.comp_overlap_ctrl,
+                ballistics=config.comp_ballistics,
+                state=None if first else mb_state, return_state=True)
+        if not need_cells:
+            return x, StreamState(eq_zi=eq_zi, mb=mb_state, kw_zi=None), None
+        meter_sig = x.mean(axis=0, keepdims=True) \
+            if (config.measure_downmix == "reference_mono_mean"
+                and x.shape[0] > 1) else x
+        cells, _, kw_zi = loud.block_cell_energies_rows(
+            meter_sig, config.sample_rate, zi=state.kw_zi, return_state=True)
+        return x, StreamState(eq_zi=eq_zi, mb=mb_state, kw_zi=kw_zi), cells
     if channel_major:
         from python_audio_mastering_tpu.models.chain import eq_sos
         from python_audio_mastering_tpu.ops import iir
@@ -196,7 +244,13 @@ def _cells_chunk(chunk, zi, config: ChainConfig, channel_major: bool = False):
     x = chunk
     if jnp.issubdtype(x.dtype, jnp.integer):
         x = x.astype(config.jnp_dtype()) / PCM16_SCALE
-    if channel_major:
+    if channel_major and x.ndim == 3:
+        meter_sig = x.mean(axis=0, keepdims=True) \
+            if (config.measure_downmix == "reference_mono_mean"
+                and x.shape[0] > 1) else x
+        cells, _, kw_zi = loud.block_cell_energies_rows(
+            meter_sig, config.sample_rate, zi=zi, return_state=True)
+    elif channel_major:
         meter_sig = x.mean(axis=0, keepdims=True) \
             if (config.measure_downmix == "reference_mono_mean"
                 and x.shape[0] > 1) else x
@@ -318,7 +372,8 @@ def _ckpt_path(checkpoint_dir, i):
     return os.path.join(checkpoint_dir, f"chunk_{i:05d}.pkl")
 
 
-def _save_checkpoint(checkpoint_dir, i, y, state, cells, layout="nc"):
+def _save_checkpoint(checkpoint_dir, i, y, state, cells, layout="nc",
+                     rows=False):
     """Durable chunk-granular progress: atomic write of audio + state.
 
     ``y``/``cells`` may be single chunk arrays or LISTS of consecutive
@@ -327,9 +382,14 @@ def _save_checkpoint(checkpoint_dir, i, y, state, cells, layout="nc"):
     The file is keyed by the LAST chunk index it contains.  ``layout``
     records the audio axis order (``"nc"`` time-major / ``"cn"``
     channel-major) so a resume under the other execution layout can
-    transpose on load instead of corrupting the concat."""
+    transpose on load instead of corrupting the concat.  ``rows=True``
+    marks chunks in the on-device ``(…, C, nb, L)`` rows form: they are
+    flattened HOST-side (free — the readback is row-major) into the
+    ``"cn"`` on-disk format, so checkpoints stay layout-portable."""
     ys = y if isinstance(y, (list, tuple)) else [y]
     cells_seq = cells if isinstance(cells, (list, tuple)) else [cells]
+    if rows:
+        ys = [np.asarray(v).reshape(np.shape(v)[:-2] + (-1,)) for v in ys]
     payload = {
         "ys": [np.asarray(v) for v in ys],
         "state": jax.tree.map(np.asarray, state),
@@ -451,12 +511,19 @@ def master_streamed(audio, params: MasteringParams, config: ChainConfig,
     # Channel-major hot path (same gate as models.chain.master): chunks
     # live on device as (C, chunk_frames) and the whole per-chunk body runs
     # the folded-rows TPU form — the host transposes once per file (cheap
-    # next to the link), not the device once per op.
+    # next to the link), not the device once per op.  When the chunk length
+    # is additionally a block_size multiple (the default_chunk_frames
+    # production geometry), chunks live as (C, nb, L) ROWS and the body
+    # pays zero layout-change copies (see _fx_chunk).
     cm = config.channel_major(chunk_frames)
+    rows = cm and chunk_frames % config.block_size == 0
+    blk = config.block_size
     tax = 1 if cm else 0  # time axis of device-side chunks
 
     def to_wire(arr):
         w = quantize_pcm16(arr) if pcm16 else np.asarray(arr, dtype)
+        if rows:
+            return np.ascontiguousarray(w.T).reshape(c, -1, blk)
         return np.ascontiguousarray(w.T) if cm else w
 
     # Device-resident input when it fits comfortably (one transfer per file,
@@ -474,6 +541,10 @@ def master_streamed(audio, params: MasteringParams, config: ChainConfig,
         x_dev = jax.device_put(to_wire(whole))
 
         def chunk_at(i):
+            if rows:  # slice whole blocks along the nb axis
+                cpb = chunk_frames // blk
+                return jax.lax.slice_in_dim(x_dev, i * cpb, (i + 1) * cpb,
+                                            axis=1)
             return jax.lax.slice_in_dim(x_dev, i * chunk_frames,
                                         (i + 1) * chunk_frames, axis=tax)
     else:
@@ -497,6 +568,8 @@ def master_streamed(audio, params: MasteringParams, config: ChainConfig,
         os.makedirs(checkpoint_dir, exist_ok=True)
         start_chunk, state, processed, cell_list = _load_checkpoints(
             checkpoint_dir, num_chunks, dtype, layout="cn" if cm else "nc")
+        if rows:  # resumed chunks re-fold into the rows execution form
+            processed = [y.reshape(c, -1, blk) for y in processed]
         if need_cells:
             # checkpoints written by a no-lufs/no-meters run carry no cells
             cell_list, state = _rebuild_cells(processed, cell_list, state,
@@ -517,7 +590,7 @@ def master_streamed(audio, params: MasteringParams, config: ChainConfig,
         cell_list.append(cells)
         if checkpoint_dir:
             _save_checkpoint(checkpoint_dir, i, y, state, cells,
-                             layout="cn" if cm else "nc")
+                             layout="cn" if cm else "nc", rows=rows)
         if progress_cb:
             progress_cb(f"Processed chunk {i + 1}/{num_chunks}...")
 
@@ -546,6 +619,8 @@ def master_streamed(audio, params: MasteringParams, config: ChainConfig,
         lstate = lim.lookahead_limiter_init(c, dtype)
         rem = n - (num_chunks - 1) * chunk_frames
         for i, y in enumerate(processed):
+            if rows:  # the limiter state machine is (N, C)-sequential
+                y = y.reshape(c, -1)
             if i == num_chunks - 1 and rem < chunk_frames:
                 y = jax.lax.slice_in_dim(y, 0, rem, axis=tax)
             o, lstate = fin_la(y, gain, lstate, emit_i16=pcm16,
@@ -558,31 +633,43 @@ def master_streamed(audio, params: MasteringParams, config: ChainConfig,
                       channel_major=cm)
         if o.shape[tax]:
             finalized.append(o)
+        fin_rows = False
     else:
         # trim the zero-padding/ring-out tail of the last chunk BEFORE
         # finalize so the streamed true-peak meter below never sees samples
         # that are not part of the returned audio (fin is elementwise, so
-        # trimming before vs. after it is identical for kept samples)
+        # trimming before vs. after it is identical for kept samples).
+        # Rows-form chunks stay rows (fin is elementwise); the padded tail
+        # is cut on the host after readback, and the meter loop below
+        # flattens + trims its own view.
         rem = n - (num_chunks - 1) * chunk_frames
         for i, y in enumerate(processed):
-            if i == num_chunks - 1 and rem < chunk_frames:
+            if not rows and i == num_chunks - 1 and rem < chunk_frames:
                 y = jax.lax.slice_in_dim(y, 0, rem, axis=tax)
             finalized.append(fin(y, gain, emit_i16=pcm16))
             if progress_cb:
                 progress_cb(f"Finalizing chunk {i + 1}/{num_chunks}...")
+        fin_rows = rows
 
     tp_max = None
     if return_meters:
         tp_tail = jnp.zeros((32, c), dtype)
         for fi, f in enumerate(finalized):
+            if fin_rows:
+                f = f.reshape(c, -1)
+                if fi == len(finalized) - 1 and rem < chunk_frames:
+                    f = jax.lax.slice_in_dim(f, 0, rem, axis=1)
             tpv, tp_tail = tp_fn(tp_tail, f, last=(fi == len(finalized) - 1),
                                  channel_major=cm)
             tp_max = tpv if tp_max is None else jnp.maximum(tp_max, tpv)
 
+    cat_ax = 1 if fin_rows else tax
     if device_resident:
-        out = np.asarray(jnp.concatenate(finalized, axis=tax))
+        out = np.asarray(jnp.concatenate(finalized, axis=cat_ax))
     else:
-        out = np.concatenate([np.asarray(y) for y in finalized], axis=tax)
+        out = np.concatenate([np.asarray(y) for y in finalized], axis=cat_ax)
+    if fin_rows:
+        out = out.reshape(c, -1)  # host-side unfold (free: row-major)
     out = np.ascontiguousarray(out[:, :n].T) if cm else out[:n]
     if pcm16:
         out = out.astype(np.float32) / PCM16_SCALE

@@ -191,3 +191,28 @@ def test_album_no_lufs_skips_cells():
                                      need_cells=True)
     assert c1 is None and s1.kw_zi is None and c2 is not None
     np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
+
+
+def test_album_streamed_rows_form_matches_one_shot():
+    """Block-aligned chunks engage the rows-resident batched body (the
+    production geometry — see streaming.default_chunk_frames); the result
+    must equal per-track one-shot masters exactly.  fs=12800 makes the
+    rows chunk 2560 frames so the test is CPU-cheap."""
+    from python_audio_mastering_tpu import master
+    from python_audio_mastering_tpu.parallel import streaming
+
+    fs = 12800
+    cfg = ChainConfig(sample_rate=fs, dtype="float64",
+                      filter_method="blocked")
+    assert streaming.default_chunk_frames(cfg, 0.4) % cfg.block_size == 0
+    tracks = [make_signal(int(fs * 1.1) + 257 * i, fs=fs, seed=i) * 0.4
+              for i in range(3)]
+    params = [MasteringParams.from_settings({"preset": p, "lufs": -14.0,
+                                             "multiband": True})
+              for p in ("techno", "pop", "rock")]
+    outs, measured, meters = pbatch.master_album_streamed(
+        tracks, params, cfg, chunk_seconds=0.4, return_meters=True)
+    for i, (t, p) in enumerate(zip(tracks, params)):
+        solo = np.asarray(master(t, p, cfg))
+        np.testing.assert_allclose(outs[i], solo, rtol=0, atol=1e-10)
+        assert np.isfinite(meters[i]["true_peak_dbtp"])

@@ -199,3 +199,81 @@ def test_true_peak_exclude_pad_windows():
     excl = float(met.true_peak_linear(jnp.asarray(hot),
                                       exclude_pad=(True, True)))
     assert excl >= 0.99
+
+
+# -- rows-resident streaming (block-aligned chunks) -------------------------
+#
+# At 44.1 kHz the rows chunk geometry is lcm(cell, hop, 512) = 25.6 s —
+# too slow for a CPU unit test.  fs = 12800 gives cell = 1280 and
+# lcm(1280, 512) = 2560 frames (0.2 s) with the same code path: chunks are
+# block-aligned, so master_streamed's rows gate engages exactly as it does
+# for production 30 s chunks at 44.1 kHz.
+FS_ROWS = 12800
+
+
+def _rows_cfg(**kw):
+    kw.setdefault("dtype", "float64")
+    return ChainConfig(sample_rate=FS_ROWS, filter_method="blocked", **kw)
+
+
+def test_rows_chunk_geometry_engages():
+    cfg = _rows_cfg()
+    frames = streaming.default_chunk_frames(cfg, 0.4)
+    assert frames == 5120 and frames % cfg.block_size == 0
+    # production geometry at 44.1 kHz: 30 s requests quantize to 25.6 s
+    cfg44 = ChainConfig(sample_rate=44100, filter_method="blocked",
+                        comp_hop=8, comp_block_ctrl=2048)
+    assert streaming.default_chunk_frames(cfg44, 30.0) == 1128960
+    # short requests keep the cell/hop alignment (channel-major body)
+    assert streaming.default_chunk_frames(cfg44, 0.5) % 4410 == 0
+
+
+def test_rows_streamed_equals_one_shot():
+    x = make_signal(int(FS_ROWS * 1.05) + 321, fs=FS_ROWS) * 0.4
+    params = MasteringParams.from_settings(
+        {"saturation": 15, "bass_boost": 2.0, "width": 1.2, "lufs": -15.0,
+         "multiband": True})
+    cfg = _rows_cfg()
+    full = np.asarray(master(x, params, cfg))
+    streamed, measured, _ = streaming.master_streamed(
+        x, params, cfg, chunk_seconds=0.4)
+    # the gate must actually have engaged (chunks block-aligned → rows)
+    assert streaming.default_chunk_frames(cfg, 0.4) % cfg.block_size == 0
+    np.testing.assert_allclose(streamed, full, rtol=1e-9, atol=1e-11)
+
+
+def test_rows_streamed_meters_and_pcm16():
+    x = make_signal(int(FS_ROWS * 1.2), fs=FS_ROWS) * 0.4
+    params = MasteringParams.from_settings({"preset": "pop", "lufs": -14.0})
+    cfg = _rows_cfg(dtype="float32")
+    out32, _, _ = streaming.master_streamed(x, params, cfg,
+                                            chunk_seconds=0.4)
+    out16, _, _, meters = streaming.master_streamed(
+        x, params, cfg, chunk_seconds=0.4, transfer="pcm16",
+        return_meters=True)
+    assert np.max(np.abs(out16 - out32)) < 2.5 / streaming.PCM16_SCALE
+    assert np.isfinite(meters["true_peak_dbtp"])
+    assert np.isfinite(meters["integrated_lufs"])
+
+
+def test_rows_checkpoint_resume_cross_layout(tmp_path):
+    """A checkpoint written mid-run by the rows body resumes to the exact
+    uninterrupted output (the on-disk format stays 'cn', so resumes are
+    layout-portable)."""
+    x = make_signal(int(FS_ROWS * 1.0) + 77, fs=FS_ROWS) * 0.4
+    params = MasteringParams.from_settings(
+        {"saturation": 10, "lufs": -14.0, "multiband": True})
+    cfg = _rows_cfg()
+    full, _, _ = streaming.master_streamed(x, params, cfg, chunk_seconds=0.2)
+
+    def boom(msg):
+        if msg.startswith("Processed chunk 2/"):
+            raise KeyboardInterrupt
+
+    ck = str(tmp_path / "ck")
+    with pytest.raises(KeyboardInterrupt):
+        streaming.master_streamed(x, params, cfg, chunk_seconds=0.2,
+                                  checkpoint_dir=ck, progress_cb=boom)
+    resumed, _, _ = streaming.master_streamed(
+        x, params, cfg, chunk_seconds=0.2, checkpoint_dir=ck)
+    np.testing.assert_allclose(resumed, full, rtol=1e-11, atol=1e-12)
