@@ -167,6 +167,18 @@ def main():
         from python_audio_mastering_tpu.parallel import batch as pbatch
         from python_audio_mastering_tpu.parallel import mesh as pmesh
 
+        # BENCH_SKIP_ALBUM=1: refresh only the fast configs (seconds each)
+        # and carry the album / worker-path entries forward from the
+        # previous BENCH_DETAILS.json — those two configs alone take
+        # 30-90 min on this tunneled link.
+        skip_album = os.environ.get("BENCH_SKIP_ALBUM") == "1"
+        prev_configs = {}
+        details_path = os.path.join(os.path.dirname(__file__),
+                                    "BENCH_DETAILS.json")
+        if skip_album and os.path.exists(details_path):
+            with open(details_path) as f:
+                prev_configs = json.load(f).get("configs", {})
+
         # (1) LUFS-normalize 30 s — meter parity + speed.  `meter_err` is
         # the BASELINE metric (our gated measurement vs the independent
         # BS.1770 oracle on identical audio); `target_hit_err` reflects the
@@ -244,51 +256,52 @@ def main():
         # real PCIe host).  A second run with the timings dict inserts sync
         # barriers so h2d/compute/d2h separate and compute-only rtf is a
         # measured number, not a link-probe estimate.
-        tracks = [_mk_audio(300.0, seed=10 + i) for i in range(12)]
-        album_sec = 12 * 300.0
-        mesh1 = pmesh.make_mesh(devices=jax.devices()[:1])
-        t0 = time.perf_counter()
-        outs, _ = pbatch.master_album_streamed(
-            tracks, params, cfg, mesh=mesh1, transfer="pcm16")
-        compile_and_run = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        outs, _ = pbatch.master_album_streamed(
-            tracks, params, cfg, mesh=mesh1, transfer="pcm16")
-        wall_run2 = time.perf_counter() - t0
-        tm = {}
-        t0 = time.perf_counter()
-        pbatch.master_album_streamed(
-            tracks, params, cfg, mesh=mesh1, transfer="pcm16", timings=tm)
-        wall_run3 = time.perf_counter() - t0
-        # The bench chip sits behind a shared RPC tunnel whose throughput
-        # swings ~10x between runs (run 1, compile included, has been
-        # observed FASTER than run 2).  Steady-state wall = min over the
-        # three runs; the per-run walls are kept for honesty.
-        runs = [compile_and_run, wall_run2, wall_run3]
-        wall = min(runs)
-        # host↔device link calibration, for context only: this environment
-        # tunnels the TPU, so album jobs are link-bound end to end; on a
-        # real TPU host PCIe makes the transfer negligible
-        blob = np.zeros((64 << 20) // 4, np.float32)
-        t0 = time.perf_counter()
-        _sync(jax.device_put(blob))
-        put_gbps = (64 / 1024) / (time.perf_counter() - t0)
-        entry = {
-            "wall_s": wall, "first_call_s": compile_and_run,
-            "wall_runs_s": [round(r, 2) for r in runs],
-            "rtf": album_sec / wall,
-            "transfer": "pcm16",
-            "host_device_link_GBps": round(put_gbps, 4),
-        }
-        if tm:
-            entry["h2d_s"] = round(tm.get("h2d_s", 0.0), 3)
-            entry["compute_s"] = round(tm.get("compute_s", 0.0), 3)
-            entry["d2h_s"] = round(tm.get("d2h_s", 0.0), 3)
-            if tm.get("compute_s"):
-                entry["compute_only_rtf"] = round(album_sec / tm["compute_s"], 1)
-            entry["transfer_bound"] = (
-                tm.get("h2d_s", 0) + tm.get("d2h_s", 0) > tm.get("compute_s", 0))
-        details["configs"]["album_12x5min_streamed"] = entry
+        if not skip_album:
+            tracks = [_mk_audio(300.0, seed=10 + i) for i in range(12)]
+            album_sec = 12 * 300.0
+            mesh1 = pmesh.make_mesh(devices=jax.devices()[:1])
+            t0 = time.perf_counter()
+            outs, _ = pbatch.master_album_streamed(
+                tracks, params, cfg, mesh=mesh1, transfer="pcm16")
+            compile_and_run = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            outs, _ = pbatch.master_album_streamed(
+                tracks, params, cfg, mesh=mesh1, transfer="pcm16")
+            wall_run2 = time.perf_counter() - t0
+            tm = {}
+            t0 = time.perf_counter()
+            pbatch.master_album_streamed(
+                tracks, params, cfg, mesh=mesh1, transfer="pcm16", timings=tm)
+            wall_run3 = time.perf_counter() - t0
+            # The bench chip sits behind a shared RPC tunnel whose throughput
+            # swings ~10x between runs (run 1, compile included, has been
+            # observed FASTER than run 2).  Steady-state wall = min over the
+            # three runs; the per-run walls are kept for honesty.
+            runs = [compile_and_run, wall_run2, wall_run3]
+            wall = min(runs)
+            # host↔device link calibration, for context only: this environment
+            # tunnels the TPU, so album jobs are link-bound end to end; on a
+            # real TPU host PCIe makes the transfer negligible
+            blob = np.zeros((64 << 20) // 4, np.float32)
+            t0 = time.perf_counter()
+            _sync(jax.device_put(blob))
+            put_gbps = (64 / 1024) / (time.perf_counter() - t0)
+            entry = {
+                "wall_s": wall, "first_call_s": compile_and_run,
+                "wall_runs_s": [round(r, 2) for r in runs],
+                "rtf": album_sec / wall,
+                "transfer": "pcm16",
+                "host_device_link_GBps": round(put_gbps, 4),
+            }
+            if tm:
+                entry["h2d_s"] = round(tm.get("h2d_s", 0.0), 3)
+                entry["compute_s"] = round(tm.get("compute_s", 0.0), 3)
+                entry["d2h_s"] = round(tm.get("d2h_s", 0.0), 3)
+                if tm.get("compute_s"):
+                    entry["compute_only_rtf"] = round(album_sec / tm["compute_s"], 1)
+                entry["transfer_bound"] = (
+                    tm.get("h2d_s", 0) + tm.get("d2h_s", 0) > tm.get("compute_s", 0))
+            details["configs"]["album_12x5min_streamed"] = entry
 
         # (6) sharded SP path on the REAL chip: shard_map + its collectives
         # (boundary-state all_gathers, detector/limiter ppermutes, psum)
@@ -333,42 +346,50 @@ def main():
         # encode -> .complete flags) with the DEFAULT env knobs — proves
         # the production path runs the benchmarked configuration
         # (VERDICT r2 #1: done = within ~1.2x of the config-5 wall).
-        import io as _io
-        import shutil as _shutil
-        import tempfile as _tempfile
+        if not skip_album:
+            import io as _io
+            import shutil as _shutil
+            import tempfile as _tempfile
 
-        from python_audio_mastering_tpu.io import wavio
-        from python_audio_mastering_tpu.serving import worker as pworker
-        from python_audio_mastering_tpu.serving.store import LocalFSBlobStore
+            from python_audio_mastering_tpu.io import wavio
+            from python_audio_mastering_tpu.serving import worker as pworker
+            from python_audio_mastering_tpu.serving.store import LocalFSBlobStore
 
-        root = _tempfile.mkdtemp(prefix="pam_bench_store")
-        store = LocalFSBlobStore(root, bucket="bench")
-        uris = []
-        for i, tr in enumerate(tracks):
-            buf = _io.BytesIO()
-            wavio.write_wav(buf, tr, fs)
-            store.upload(f"up/t{i:02d}.wav", buf.getvalue())
-            uris.append(f"local://bench/up/t{i:02d}.wav")
-        settings = {"saturation": 20, "preset": "techno", "width": 1.3,
-                    "lufs": -14.0, "multiband": True}
-        # two runs, min recorded: the link's ~10x swing would otherwise
-        # decide this config (compute is ~2 s of a 150-700 s wall)
-        worker_runs = []
-        for _ in range(2):
-            t0 = time.perf_counter()
-            pworker.run_job({"gcs_uris": uris, "settings": settings}, store)
-            worker_runs.append(time.perf_counter() - t0)
-        worker_wall = min(worker_runs)
-        details["configs"]["album_via_worker_runjob"] = {
-            "wall_s": worker_wall,
-            "wall_runs_s": [round(r, 2) for r in worker_runs],
-            "rtf": round(album_sec / worker_wall, 1),
-            "vs_config5_wall": round(
-                worker_wall
-                / details["configs"]["album_12x5min_streamed"]["wall_s"], 2),
-            "env": pworker.job_options(),
-        }
-        _shutil.rmtree(root, ignore_errors=True)
+            root = _tempfile.mkdtemp(prefix="pam_bench_store")
+            store = LocalFSBlobStore(root, bucket="bench")
+            uris = []
+            for i, tr in enumerate(tracks):
+                buf = _io.BytesIO()
+                wavio.write_wav(buf, tr, fs)
+                store.upload(f"up/t{i:02d}.wav", buf.getvalue())
+                uris.append(f"local://bench/up/t{i:02d}.wav")
+            settings = {"saturation": 20, "preset": "techno", "width": 1.3,
+                        "lufs": -14.0, "multiband": True}
+            # two runs, min recorded: the link's ~10x swing would otherwise
+            # decide this config (compute is ~2 s of a 150-700 s wall)
+            worker_runs = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                pworker.run_job({"gcs_uris": uris, "settings": settings}, store)
+                worker_runs.append(time.perf_counter() - t0)
+            worker_wall = min(worker_runs)
+            details["configs"]["album_via_worker_runjob"] = {
+                "wall_s": worker_wall,
+                "wall_runs_s": [round(r, 2) for r in worker_runs],
+                "rtf": round(album_sec / worker_wall, 1),
+                "vs_config5_wall": round(
+                    worker_wall
+                    / details["configs"]["album_12x5min_streamed"]["wall_s"], 2),
+                "env": pworker.job_options(),
+            }
+            _shutil.rmtree(root, ignore_errors=True)
+
+        if skip_album:
+            for _k in ("album_12x5min_streamed", "album_via_worker_runjob"):
+                if _k in prev_configs:
+                    details["configs"][_k] = prev_configs[_k]
+            print("BENCH_SKIP_ALBUM=1: album/worker configs carried forward "
+                  "from the previous BENCH_DETAILS.json", file=sys.stderr)
 
         with open(os.path.join(os.path.dirname(__file__), "BENCH_DETAILS.json"),
                   "w") as f:
