@@ -178,6 +178,13 @@ class ChainConfig:
     # "auto": exact Pallas kernel on TPU, blocked/scan elsewhere.  Batched
     # (vmapped) paths override to "blocked" — see parallel.batch.
     comp_ballistics: str = "auto"
+    # Multiband execution over the rows-form hot path: "auto" uses the
+    # fused Pallas crossover+detector/gain-apply kernels on TPU (band
+    # signals never materialize in HBM — see ops.pallas_multiband), the
+    # XLA fused path elsewhere; "pallas" / "xla" force.  Batched (vmapped)
+    # and gradient paths use "xla" (the kernels have no batching rule or
+    # VJP) — parallel.batch overrides like it does for comp_ballistics.
+    mb_kernel: str = "auto"
     # Internal execution layout: "auto" runs the worker-variant blocked
     # chain channel-major ("cm", the TPU hot path — see models/chain.py);
     # "nc" forces the row-major (N, C) body (A/B + fallback knob).

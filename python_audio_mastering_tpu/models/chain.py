@@ -170,7 +170,7 @@ def _master_cm(x, params: MasteringParams, config: ChainConfig,
             ratios=(params.low_ratio, params.mid_ratio, params.high_ratio),
             hop=config.comp_hop, block_ctrl=config.comp_block_ctrl,
             overlap_ctrl=config.comp_overlap_ctrl,
-            ballistics=config.comp_ballistics)
+            ballistics=config.comp_ballistics, kernel=config.mb_kernel)
 
     if params.lufs_enabled:
         measured = integrated_loudness_rows(

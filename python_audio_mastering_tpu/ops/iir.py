@@ -41,6 +41,7 @@ __all__ = [
     "sosfilt_blocked_multi_cm",
     "sosfilt_blocked_rows",
     "sosfilt_blocked_multi_rows",
+    "sosfilt_states_multi_rows",
     "sosfilt",
     "cascade_state_space",
     "zi_to_state",
@@ -655,6 +656,71 @@ def sosfilt_blocked_multi(sos_list, x, zi_list=None, block_size=512,
 # the per-row contractions are the same sums in the same order.
 
 
+def _blocked_rows_states(ops, statics, xrows, s0s, L, return_state,
+                         sos_list=None, n_valid=None):
+    """Per-block incoming states for F filters over a ROWS-form signal.
+
+    The state-summary half of a blocked filter pass: ONE shared ``rows @
+    G_cat`` read of the signal plus the (control-rate) boundary-state
+    recurrence per filter — no zero-state output dots.  This is the
+    building block both of :func:`_blocked_rows_run` (which adds the output
+    dots) and of the fused Pallas multiband pipeline
+    (``ops.pallas_multiband``), where the band outputs are *recomputed
+    block-locally in VMEM* from these states instead of ever being
+    materialized in HBM.
+
+    Returns ``(s_ins, s_finals)``: per-filter block incoming states
+    ``(C, nb, S_f)`` and final cascade states ``(S_f, C)`` (placeholders
+    when ``return_state`` is False).
+    """
+    c, nb, _ = xrows.shape
+    rows = xrows.reshape(c * nb, L)
+    pad = 0 if n_valid is None else nb * L - n_valid
+
+    # one shared read of the signal for every filter's state summaries
+    g_cat = jnp.concatenate([g for (_, g, _, _) in ops], axis=1)
+    tv_cat = jnp.dot(rows, g_cat, precision=_HIGHEST)  # (C·nb, ΣS_f)
+
+    s_ins, s_finals = [], []
+    col = 0
+    for f, (t_mat, g, w, al) in enumerate(ops):
+        s_dim = al.shape[0]
+        tv = tv_cat[:, col: col + s_dim].reshape(c, nb, s_dim)
+        col += s_dim
+        if statics[f] is not None:
+            s_in, s_last = jax.vmap(
+                lambda tvc, s0c, _st=statics[f], _al=al: _boundary_states_static(
+                    tvc, s0c, _st, L, nb, _al, rows.dtype),
+                in_axes=(0, 1), out_axes=(0, 1))(tv, s0s[f])
+        else:
+            s_in, s_last = jax.vmap(
+                lambda tvc, s0c, _al=al: _boundary_states_traced(
+                    tvc, s0c, _al),
+                in_axes=(0, 1), out_axes=(0, 1))(tv, s0s[f])
+        # s_in: (C, nb, S); s_last: (S, C)
+        s_ins.append(s_in)
+
+        if not return_state:
+            s_finals.append(s0s[f])
+        elif pad == 0:
+            s_finals.append(s_last)
+        else:
+            # evolve the last block's incoming state through its valid
+            # samples only (padded zeros must not advance the state):
+            # one affine update, not a rem-step scan
+            rem = n_valid - (nb - 1) * L
+            x_last = xrows[:, -1, :rem]                   # (C, rem)
+            s_in_last = s_in[:, -1].T                     # (S, C)
+            if statics[f] is not None:
+                s_f = _final_state_static(s_in_last, x_last, statics[f],
+                                          rem, rows.dtype)
+            else:
+                s_f = _final_state_traced(s_in_last, x_last, sos_list[f],
+                                          g, L, rem)
+            s_finals.append(s_f)
+    return s_ins, s_finals
+
+
 def _blocked_rows_run(ops, statics, xrows, s0s, L, return_state,
                       sos_list=None, n_valid=None):
     """Core blocked runner over a ROWS-form signal: F filters, no relayouts.
@@ -682,52 +748,44 @@ def _blocked_rows_run(ops, statics, xrows, s0s, L, return_state,
     """
     c, nb, _ = xrows.shape
     rows = xrows.reshape(c * nb, L)
-    pad = 0 if n_valid is None else nb * L - n_valid
-
-    # one shared read of the signal for every filter's state summaries
-    g_cat = jnp.concatenate([g for (_, g, _, _) in ops], axis=1)
-    tv_cat = jnp.dot(rows, g_cat, precision=_HIGHEST)  # (C·nb, ΣS_f)
-
-    yrows, s_finals = [], []
-    col = 0
+    s_ins, s_finals = _blocked_rows_states(
+        ops, statics, xrows, s0s, L, return_state, sos_list=sos_list,
+        n_valid=n_valid)
+    yrows = []
     for f, (t_mat, g, w, al) in enumerate(ops):
         s_dim = al.shape[0]
-        tv = tv_cat[:, col: col + s_dim].reshape(c, nb, s_dim)
-        col += s_dim
-        if statics[f] is not None:
-            s_in, s_last = jax.vmap(
-                lambda tvc, s0c, _st=statics[f], _al=al: _boundary_states_static(
-                    tvc, s0c, _st, L, nb, _al, rows.dtype),
-                in_axes=(0, 1), out_axes=(0, 1))(tv, s0s[f])
-        else:
-            s_in, s_last = jax.vmap(
-                lambda tvc, s0c, _al=al: _boundary_states_traced(
-                    tvc, s0c, _al),
-                in_axes=(0, 1), out_axes=(0, 1))(tv, s0s[f])
-        # s_in: (C, nb, S); s_last: (S, C)
         y = jnp.dot(rows, t_mat, precision=_HIGHEST) + \
-            jnp.dot(s_in.reshape(c * nb, s_dim), w.T, precision=_HIGHEST)
+            jnp.dot(s_ins[f].reshape(c * nb, s_dim), w.T,
+                    precision=_HIGHEST)
         yrows.append(y.reshape(c, nb, L))
-
-        if not return_state:
-            s_finals.append(s0s[f])
-        elif pad == 0:
-            s_finals.append(s_last)
-        else:
-            # evolve the last block's incoming state through its valid
-            # samples only (padded zeros must not advance the state):
-            # one affine update, not a rem-step scan
-            rem = n_valid - (nb - 1) * L
-            x_last = xrows[:, -1, :rem]                   # (C, rem)
-            s_in_last = s_in[:, -1].T                     # (S, C)
-            if statics[f] is not None:
-                s_f = _final_state_static(s_in_last, x_last, statics[f],
-                                          rem, rows.dtype)
-            else:
-                s_f = _final_state_traced(s_in_last, x_last, sos_list[f],
-                                          g, L, rem)
-            s_finals.append(s_f)
     return yrows, s_finals
+
+
+def sosfilt_states_multi_rows(sos_list, xrows, zi_list=None, n_valid=None,
+                              return_state=True):
+    """Per-block incoming states (no outputs) for F static cascades over a
+    ROWS-form ``(C, nb, L)`` signal.
+
+    Feeds the fused Pallas multiband pipeline (``ops.pallas_multiband``):
+    the kernels recompute band samples block-locally in VMEM from these
+    tiny ``(C, nb, S)`` states, so the full-length band signals never touch
+    HBM.  Coefficients must be concrete host arrays.
+
+    Returns ``(s_ins, zfs)``: per-filter ``(C, nb, S_f)`` block incoming
+    cascade states and scipy-layout ``(K, 2, C)`` final states.
+    """
+    c, nb, L = xrows.shape
+    statics = [np.asarray(s, np.float64) for s in sos_list]
+    ops = []
+    for s in statics:
+        o = _blocked_operators_static(s.tobytes(), s.shape[0], L)
+        ops.append(tuple(jnp.asarray(m, xrows.dtype) for m in o))
+    s0s = _cm_states([s.shape[0] for s in statics], zi_list, c, xrows.dtype)
+    s_ins, s_ts = _blocked_rows_states(ops, statics, xrows, s0s, L,
+                                       return_state, n_valid=n_valid)
+    zfs = [state_to_zi(s_t, statics[f].shape[0])
+           for f, s_t in enumerate(s_ts)]
+    return tuple(s_ins), tuple(zfs)
 
 
 def _blocked_cm_run(ops, statics, xT, s0s, L, return_state, sos_list=None):

@@ -277,11 +277,55 @@ def _run_ballistics(stacked, sample_rate, hop, ballistics, block_ctrl,
     return comp.attenuation_scan(stacked, att0)
 
 
+def _multiband_rows_pallas(xrows, sample_rate, thresholds_db, ratios,
+                           low_crossover, high_crossover, hop, block_ctrl,
+                           overlap_ctrl, ballistics, state, return_state,
+                           interpret=False):
+    """Fused-kernel execution of the worker-variant rows multiband.
+
+    Same contract, state dict, and recombination algebra as the XLA body of
+    :func:`multiband_compress_rows`; the band signals never materialize in
+    HBM (see ``ops.pallas_multiband``).  The sequential part — per-block
+    incoming crossover states — is the tiny control-rate XLA pass
+    ``iir.sosfilt_states_multi_rows``; the detector stats / ballistics /
+    gain stages between the two kernels are the shared control-rate code.
+    """
+    from python_audio_mastering_tpu.ops import pallas_multiband as pmb
+
+    c, nb, L = xrows.shape
+    dt = xrows.dtype
+    state = state or {}
+    lp_sos, hp_sos = _crossover_sos(sample_rate, low_crossover,
+                                    high_crossover)
+    zi = state.get("crossover") or {}
+    (s_in_lp, s_in_hp), (z_lp, z_hp) = iir.sosfilt_states_multi_rows(
+        (lp_sos, hp_sos), xrows, (zi.get("lp"), zi.get("hp")),
+        return_state=return_state)
+    xb = pmb.band_energies(xrows, s_in_lp, s_in_hp, lp_sos, hp_sos,
+                           hop=hop, interpret=interpret)
+    t = xb.shape[1]
+    look_ctrl = detector_lookpad(sample_rate, hop) // hop
+    stacked, new_ctrl_tail = _fused_stats_from_ctrl(
+        xb, t, sample_rate, thresholds_db, ratios, hop,
+        state.get("ctrl_tail"), look_ctrl, dt)
+    att, att_f = _run_ballistics(stacked, sample_rate, hop, ballistics,
+                                 block_ctrl, overlap_ctrl, state.get("att"))
+    gains = 10.0 ** (-att / 20.0)  # (T, 3) control-rate
+    cols = jnp.stack([gains[:, 1], gains[:, 0] - gains[:, 1],
+                      gains[:, 2] - gains[:, 1]])  # (3, T)
+    y = pmb.band_gain_apply(xrows, s_in_lp, s_in_hp, cols, lp_sos, hp_sos,
+                            hop=hop, interpret=interpret)
+    if return_state:
+        return y, {"crossover": {"lp": z_lp, "hp": z_hp}, "att": att_f,
+                   "ctrl_tail": new_ctrl_tail}
+    return y
+
+
 def multiband_compress_rows(xrows, sample_rate, thresholds_db, ratios,
                             low_crossover=250.0, high_crossover=4000.0,
                             hop=1, block_ctrl=None, overlap_ctrl=None,
                             ballistics="auto", state=None,
-                            return_state=False):
+                            return_state=False, kernel="auto"):
     """Fused worker-variant 3-band compressor over ROWS-form ``(C, nb, L)``.
 
     The chain/streaming hot path (models/chain._master_cm and the rows
@@ -294,11 +338,28 @@ def multiband_compress_rows(xrows, sample_rate, thresholds_db, ratios,
     — the two layouts' states are interchangeable (scipy-layout zi +
     control-rate scalars), so checkpoints resume across layouts.  Same
     numerics as the fused channel-major path on the same padded signal.
+
+    ``kernel``: "auto" runs the fused Pallas crossover+detector/gain-apply
+    kernels on TPU (band signals never touch HBM — ops.pallas_multiband),
+    the XLA body elsewhere; "pallas"/"xla" force; "pallas_interpret" for
+    CPU parity tests.  NOT vmappable / differentiable in kernel mode —
+    batched and gradient paths pass "xla" (see parallel.batch).
     """
     c, nb, L = xrows.shape
     n = nb * L
     dt = xrows.dtype
     state = state or {}
+    if kernel != "xla" and (hop == 1 or L % hop == 0):
+        from python_audio_mastering_tpu.ops import pallas_multiband as pmb
+
+        interpret = kernel == "pallas_interpret"
+        if interpret or kernel == "pallas" or (
+                kernel == "auto" and pmb.available()
+                and dt == jnp.float32):
+            return _multiband_rows_pallas(
+                xrows, sample_rate, thresholds_db, ratios, low_crossover,
+                high_crossover, hop, block_ctrl, overlap_ctrl, ballistics,
+                state, return_state, interpret=interpret)
     lp_sos, hp_sos = _crossover_sos(sample_rate, low_crossover,
                                     high_crossover)
     zi = state.get("crossover") or {}

@@ -1,0 +1,229 @@
+"""Pallas kernels for the HBM-lean 3-band multiband compressor.
+
+The XLA rows path (``ops.multiband.multiband_compress_rows``) is the
+dominant HBM consumer of the mastering chain: the two crossover band
+outputs materialize in HBM between the filter pass and the gain-apply
+epilogue, and the detector's per-band squared-energy rows materialize on
+their way to the control rate — measured 4.8 GB of the chain's 6.63 GB
+XLA-cost-model traffic on a 3-min stereo track (BENCH_DETAILS.json r03).
+
+This module removes the band signals from HBM entirely with a three-phase
+split around the *sequential* part of the filter (reference multiband:
+engine:196-210; crossovers engine:197-198):
+
+1. **States (XLA, tiny):** ``ops.iir.sosfilt_states_multi_rows`` — one
+   ``rows @ G`` read of the signal plus the control-rate boundary-state
+   recurrence yields every block's incoming cascade state ``(C, nb, S)``
+   (~1 MB for a 3-min track).  With those states in hand, every block's
+   band samples are *independently recomputable*: ``band = x_blk @ T +
+   s_in @ Wᵀ`` — the same dense-operator algebra as the XLA blocked path.
+
+2. **Energies (Pallas, parallel grid):** :func:`band_energies` streams
+   superblocks of ``M`` blocks through VMEM, recomputes low/high there,
+   forms ``mid = x − low − high`` in registers, and emits only the
+   hop-bucketed channel-mean x² sums ``(3, nb, L/hop)`` — the detector's
+   control-rate input.  The band signals live only in VMEM.
+
+3. **Gain apply (Pallas, parallel grid):** after the (existing, exact)
+   Pallas ballistics kernel produces control-rate gains,
+   :func:`band_gain_apply` recomputes low/high the same way, upsamples
+   the three gain columns with an in-VMEM MXU dot, and writes
+   ``y = x·g_mid + low·(g_low−g_mid) + high·(g_high−g_mid)`` — the same
+   recombination algebra as the fused XLA path (mid never exists).
+
+Total multiband HBM traffic: ~3 signal reads + 1 write + control-rate
+side bands, vs ~75 signal-equivalents for the XLA path.  Numerics: the
+per-row contractions are identical to the XLA blocked path's (same
+float64-precomputed operators, same recombination algebra); parity is
+tested in interpret mode against the XLA rows path
+(tests/test_pallas_multiband.py).
+
+Both kernels use a *parallel* grid — no carried scratch — so they compose
+with the non-divisible tail (out-of-range rows read/compute garbage that
+never crosses row boundaries and is sliced off in XLA) and stay simple to
+pipeline.  Not differentiable (no VJP); gradient paths use the XLA path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+from python_audio_mastering_tpu.ops.pallas_kernels import available
+
+__all__ = ["band_energies", "band_gain_apply", "available"]
+
+_SUP = 128  # blocks per superblock (grid step); M·L = 64k samples/step
+
+
+@functools.lru_cache(maxsize=32)
+def _filter_ops_np(sos_bytes, k, L):
+    """(T (L, L), Wt (S, L)) for one static cascade, float64 host build."""
+    from python_audio_mastering_tpu.ops.iir import _blocked_operators_static
+
+    t_mat, _, w, _ = _blocked_operators_static(sos_bytes, k, L)
+    return t_mat, np.ascontiguousarray(w.T)
+
+
+def _kernel_operands(sos_lp, sos_hp, L, hop, dtype):
+    """Shared resident operands: ``tcat (L, 2L)``, ``wt (2, S, L)``,
+    ``bucket (L, L/hop)`` (None at hop=1)."""
+    lp = np.asarray(sos_lp, np.float64)
+    hp = np.asarray(sos_hp, np.float64)
+    t_lp, wt_lp = _filter_ops_np(lp.tobytes(), lp.shape[0], L)
+    t_hp, wt_hp = _filter_ops_np(hp.tobytes(), hp.shape[0], L)
+    if wt_lp.shape != wt_hp.shape:
+        raise ValueError("crossover cascades must share the state size")
+    tcat = jnp.asarray(np.concatenate([t_lp, t_hp], axis=1), dtype)
+    wt = jnp.asarray(np.stack([wt_lp, wt_hp]), dtype)
+    bucket = None
+    if hop > 1:
+        from python_audio_mastering_tpu.ops.multiband import _bucket_matrix
+
+        bucket = jnp.asarray(_bucket_matrix(L, hop), dtype)
+    return tcat, wt, bucket
+
+
+def _bands_block(x_ref, t_ref, wt_ref, slp_ref, shp_ref):
+    """Recompute (x, low, high) for one superblock, all ``(C·M, L)``."""
+    c, m, L = x_ref.shape
+    xall = x_ref[:, :, :].reshape(c * m, L)
+    y0 = jnp.dot(xall, t_ref[:, :], preferred_element_type=xall.dtype)
+    s_lp = slp_ref[:, :, :].reshape(c * m, slp_ref.shape[2])
+    s_hp = shp_ref[:, :, :].reshape(c * m, shp_ref.shape[2])
+    low = y0[:, :L] + jnp.dot(s_lp, wt_ref[0],
+                              preferred_element_type=xall.dtype)
+    high = y0[:, L:] + jnp.dot(s_hp, wt_ref[1],
+                               preferred_element_type=xall.dtype)
+    return xall, low, high
+
+
+def _energies_kernel(x_ref, t_ref, wt_ref, slp_ref, shp_ref, *refs, inv_c):
+    bk_ref, out_ref = refs if len(refs) == 2 else (None, refs[0])
+    c, m, L = x_ref.shape
+    xall, low, high = _bands_block(x_ref, t_ref, wt_ref, slp_ref, shp_ref)
+    mid = xall - low - high
+    for band, sig in enumerate((low, mid, high)):
+        e = (sig * sig).reshape(c, m, L)
+        esum = e[0] if c == 1 else jnp.sum(e, axis=0)
+        if bk_ref is None:
+            out_ref[band] = esum * inv_c
+        else:
+            out_ref[band] = jnp.dot(esum, bk_ref[:, :],
+                                    preferred_element_type=esum.dtype) * inv_c
+
+
+def _gain_apply_kernel(x_ref, t_ref, wt_ref, slp_ref, shp_ref, cols_ref,
+                       *refs):
+    up_ref, out_ref = refs if len(refs) == 2 else (None, refs[0])
+    c, m, L = x_ref.shape
+    xall, low, high = _bands_block(x_ref, t_ref, wt_ref, slp_ref, shp_ref)
+    if up_ref is None:
+        gm, dl, dh = cols_ref[0], cols_ref[1], cols_ref[2]  # (M, L)
+    else:
+        gm = jnp.dot(cols_ref[0], up_ref[:, :],
+                     preferred_element_type=xall.dtype)
+        dl = jnp.dot(cols_ref[1], up_ref[:, :],
+                     preferred_element_type=xall.dtype)
+        dh = jnp.dot(cols_ref[2], up_ref[:, :],
+                     preferred_element_type=xall.dtype)
+    y = (xall.reshape(c, m, L) * gm[None]
+         + low.reshape(c, m, L) * dl[None]
+         + high.reshape(c, m, L) * dh[None])
+    out_ref[:, :, :] = y
+
+
+def band_energies(xrows, s_in_lp, s_in_hp, sos_lp, sos_hp, hop=1,
+                  interpret: bool = False):
+    """Hop-bucketed channel-mean band energies ``(3, nb·L/hop)``.
+
+    Equals the XLA fused detector's ``xb`` (``multiband`` low/mid/high x²
+    bucket sums) to float roundoff; the band signals exist only in VMEM.
+
+    Args:
+      xrows: ``(C, nb, L)`` rows-form signal.
+      s_in_lp / s_in_hp: ``(C, nb, S)`` per-block incoming cascade states
+        from :func:`~python_audio_mastering_tpu.ops.iir.sosfilt_states_multi_rows`.
+      sos_lp / sos_hp: concrete ``(K, 6)`` crossover coefficients.
+    """
+    c, nb, L = xrows.shape
+    if hop > 1 and L % hop != 0:
+        raise ValueError(f"hop {hop} must divide block size {L}")
+    tcat, wt, bucket = _kernel_operands(sos_lp, sos_hp, L, hop, xrows.dtype)
+    s = s_in_lp.shape[2]
+    m = min(_SUP, nb)
+    nbs = -(-nb // m)
+    lh = L // hop
+
+    kern = functools.partial(_energies_kernel, inv_c=1.0 / c)
+    in_specs = [
+        pl.BlockSpec((c, m, L), lambda i: (0, i, 0)),
+        pl.BlockSpec((L, 2 * L), lambda i: (0, 0)),
+        pl.BlockSpec((2, s, L), lambda i: (0, 0, 0)),
+        pl.BlockSpec((c, m, s), lambda i: (0, i, 0)),
+        pl.BlockSpec((c, m, s), lambda i: (0, i, 0)),
+    ]
+    args = [xrows, tcat, wt, s_in_lp, s_in_hp]
+    if bucket is not None:
+        in_specs.append(pl.BlockSpec((L, lh), lambda i: (0, 0)))
+        args.append(bucket)
+    out = pl.pallas_call(
+        kern,
+        grid=(nbs,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((3, m, lh), lambda i: (0, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((3, nbs * m, lh), xrows.dtype),
+        interpret=interpret,
+    )(*args)
+    return out[:, :nb].reshape(3, nb * lh)
+
+
+def band_gain_apply(xrows, s_in_lp, s_in_hp, cols, sos_lp, sos_hp, hop=1,
+                    interpret: bool = False):
+    """Recombine with control-rate gain deltas: ``y = x·gm + low·dl +
+    high·dh`` over rows form, one signal read + one write.
+
+    Args:
+      cols: ``(3, T)`` control-rate columns ``(g_mid, g_low−g_mid,
+        g_high−g_mid)``, ``T = nb·L/hop``.
+    """
+    c, nb, L = xrows.shape
+    if hop > 1 and L % hop != 0:
+        raise ValueError(f"hop {hop} must divide block size {L}")
+    tcat, wt, bucket = _kernel_operands(sos_lp, sos_hp, L, hop, xrows.dtype)
+    s = s_in_lp.shape[2]
+    m = min(_SUP, nb)
+    nbs = -(-nb // m)
+    lh = L // hop
+    cols = cols.reshape(3, nb, lh)
+
+    kern = _gain_apply_kernel
+    in_specs = [
+        pl.BlockSpec((c, m, L), lambda i: (0, i, 0)),
+        pl.BlockSpec((L, 2 * L), lambda i: (0, 0)),
+        pl.BlockSpec((2, s, L), lambda i: (0, 0, 0)),
+        pl.BlockSpec((c, m, s), lambda i: (0, i, 0)),
+        pl.BlockSpec((c, m, s), lambda i: (0, i, 0)),
+        pl.BlockSpec((3, m, lh), lambda i: (0, i, 0)),
+    ]
+    args = [xrows, tcat, wt, s_in_lp, s_in_hp, cols]
+    if hop > 1:
+        from python_audio_mastering_tpu.ops.multiband import _bucket_matrix
+
+        up = jnp.asarray(np.ascontiguousarray(_bucket_matrix(L, hop).T),
+                         xrows.dtype)
+        in_specs.append(pl.BlockSpec((lh, L), lambda i: (0, 0)))
+        args.append(up)
+    out = pl.pallas_call(
+        kern,
+        grid=(nbs,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((c, m, L), lambda i: (0, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((c, nbs * m, L), xrows.dtype),
+        interpret=interpret,
+    )(*args)
+    return out[:, :nb]

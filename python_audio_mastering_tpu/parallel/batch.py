@@ -74,7 +74,8 @@ def make_album_fn(config: ChainConfig, mesh=None):
     import dataclasses as _dc
 
     config = _dc.replace(
-        config, comp_ballistics="blocked" if config.comp_block_ctrl else "scan")
+        config, comp_ballistics="blocked" if config.comp_block_ctrl else "scan",
+        mb_kernel="xla")
 
     def one(audio, params, n_valid):
         return master(audio, params, config=config, valid_frames=n_valid)
@@ -226,7 +227,8 @@ def master_album_streamed(tracks: Sequence[np.ndarray], params,
         raise ValueError(f"unknown transfer format {transfer!r}")
     pcm16 = transfer == "pcm16"
     config = _dc.replace(
-        config, comp_ballistics="blocked" if config.comp_block_ctrl else "scan")
+        config, comp_ballistics="blocked" if config.comp_block_ctrl else "scan",
+        mb_kernel="xla")
     batch, lengths = pad_tracks(tracks)
     if isinstance(params, MasteringParams):
         params = [params] * len(tracks)

@@ -163,7 +163,8 @@ def _fx_chunk(chunk, params, config: ChainConfig, state: StreamState,
                 hop=config.comp_hop, block_ctrl=config.comp_block_ctrl,
                 overlap_ctrl=config.comp_overlap_ctrl,
                 ballistics=config.comp_ballistics,
-                state=None if first else mb_state, return_state=True)
+                state=None if first else mb_state, return_state=True,
+                kernel=config.mb_kernel)
         if not need_cells:
             return x, StreamState(eq_zi=eq_zi, mb=mb_state, kw_zi=None), None
         meter_sig = x.mean(axis=0, keepdims=True) \
