@@ -177,14 +177,23 @@ def write_wav(path_or_file, audio, sample_rate, sample_width=2,
         payload = inter.astype("<f4").tobytes()
     else:
         tag, bits = WAVE_FORMAT_PCM, 8 * sample_width
-        ints = float_to_pcm(inter, sample_width, dither=dither,
-                            dither_seed=dither_seed)
-        if sample_width == 3:
-            payload = _pack_pcm24(ints)
-        elif sample_width == 1:
-            payload = (ints.astype(np.int16) + 128).astype(np.uint8).tobytes()
-        else:
-            payload = ints.astype("<i%d" % sample_width).tobytes()
+        payload = None
+        if not dither and sample_width in (2, 3, 4):
+            # multithreaded C++ float→PCM when built (byte-identical to the
+            # numpy path — tests/test_native.py::test_encode_pcm_matches_python)
+            from python_audio_mastering_tpu.io import native
+
+            if native.available():
+                payload = native.encode_pcm(inter, sample_width)
+        if payload is None:
+            ints = float_to_pcm(inter, sample_width, dither=dither,
+                                dither_seed=dither_seed)
+            if sample_width == 3:
+                payload = _pack_pcm24(ints)
+            elif sample_width == 1:
+                payload = (ints.astype(np.int16) + 128).astype(np.uint8).tobytes()
+            else:
+                payload = ints.astype("<i%d" % sample_width).tobytes()
 
     block = ch * (bits // 8)
     hdr = io.BytesIO()

@@ -66,3 +66,48 @@ def test_batch_decode_album():
 def test_probe_rejects_garbage():
     with pytest.raises(ValueError):
         native.decode_wav(b"RIFFxxxxWAVEgarbage")
+
+
+def test_album_engine_uses_native_batch_decoder(tmp_path, monkeypatch):
+    """The album job path must take the C++ batch decoder when it is
+    available and the uploads are uniform WAVs (VERDICT r3 #3), and its
+    outputs must equal the pure-numpy decode path's."""
+    import json
+
+    from python_audio_mastering_tpu import engine
+    from python_audio_mastering_tpu.config import ChainConfig
+    from python_audio_mastering_tpu.serving.store import LocalFSBlobStore
+
+    store = LocalFSBlobStore(str(tmp_path), bucket="t")
+    uris = []
+    for i in range(3):
+        x = (make_signal(30000 + 777 * i, seed=i) * 0.5).astype(np.float32)
+        store.upload(f"up/t{i}.wav", _wav_bytes(x))
+        uris.append(f"local://t/up/t{i}.wav")
+    settings = {"saturation": 10, "lufs": -16.0}
+    cfg = ChainConfig(sample_rate=44100)
+
+    calls = {"batch": 0}
+    real = native.decode_batch
+
+    def spy(*a, **kw):
+        calls["batch"] += 1
+        return real(*a, **kw)
+
+    monkeypatch.setattr(native, "decode_batch", spy)
+    keys = engine.process_album_from_uris(uris, settings, store=store,
+                                          config=cfg, emit_meters=True)
+    assert calls["batch"] == 1
+    outs_native = [wavio.read_wav(store.download(k))[0] for k in keys]
+    for k in keys:
+        assert store.exists(f"{k}.complete")
+        json.loads(store.download(f"{k}.meters.json"))
+
+    # numpy decode path (native reported unavailable) must agree
+    monkeypatch.setattr(native, "available", lambda: False)
+    keys2 = engine.process_album_from_uris(uris, settings, store=store,
+                                           config=cfg, emit_meters=False)
+    assert keys2 == keys
+    for k, ref in zip(keys2, outs_native):
+        np.testing.assert_allclose(wavio.read_wav(store.download(k))[0],
+                                   ref, rtol=0, atol=2e-5)
