@@ -192,6 +192,14 @@ class ChainConfig:
     # Loudness measurement downmix: reference parity is mono-mean.
     measure_downmix: str = "reference_mono_mean"
     limiter_threshold: float = 0.98
+    # Device-residency budget for the streaming runners (bytes): inputs /
+    # retained pass-A chunks / finalized outputs beyond it spill to the
+    # host (wire format) and re-upload in pass B, so arbitrarily long
+    # files master in bounded device memory (the reference's "any size"
+    # claim, README.md:19 — made true rather than asserted).  Default 6 GB:
+    # the 12x5-min BASELINE album (~3.2 GB peak) stays fully resident on a
+    # 16 GB chip; anything larger runs bounded.
+    device_budget_bytes: int = 6 << 30
     # "reference": the engine's instantaneous soft knee (engine:224-227).
     # "lookahead_truepeak": brickwall true-peak lookahead limiter
     # (ops/limiter.py) — a quality upgrade; works in one-shot master(),

@@ -127,6 +127,7 @@ def _compiled_album(config: ChainConfig):
 
     @functools.partial(jax.jit, static_argnames=("emit_i16",))
     def finalize(chunk, g, emit_i16=False):
+        chunk = strm._dequant_if_int(chunk, config)  # spilled pcm16 chunks
         gb = g.reshape(g.shape + (1,) * (chunk.ndim - 1))
         y = limiter(chunk * gb, threshold=config.limiter_threshold)
         return strm.requantize_pcm16(y) if emit_i16 else y
@@ -149,6 +150,7 @@ def _compiled_album(config: ChainConfig):
                 c, s, config.sample_rate, flush=flush)
             return (out.T if channel_major else out), ns
 
+        chunk = strm._dequant_if_int(chunk, config)  # spilled pcm16 chunks
         if chunk is None:
             out, ns = jax.vmap(lambda s: one(None, s))(lstate)
         else:
@@ -278,11 +280,19 @@ def master_album_streamed(tracks: Sequence[np.ndarray], params,
     # Keep the (small relative to HBM) input batch device-resident and slice
     # chunks on-device: chunking bounds the *intermediates*, and host↔device
     # transfers happen once per album, not once per chunk.  Fall back to
-    # host-streamed chunks only when the padded batch itself is too big.
+    # the BOUNDED mode (host-streamed chunks, pass-A outputs spilled past
+    # the budget, finalized chunks read back immediately — same policy as
+    # streaming.master_streamed) when input + retained chunks + finalized
+    # outputs would exceed config.device_budget_bytes.
     n_padded = num_chunks * chunk_frames
     wire_itemsize = 2 if pcm16 else dtype.itemsize
     batch_bytes = batch.shape[0] * n_padded * batch.shape[2] * wire_itemsize
-    device_resident = batch_bytes <= 4 << 30
+    chunk_dev_bytes = (batch.shape[0] * chunk_frames * batch.shape[2]
+                       * dtype.itemsize)
+    device_resident = (batch_bytes + 2 * num_chunks * chunk_dev_bytes
+                       <= config.device_budget_bytes)
+    keep_dev = max(2, (config.device_budget_bytes // 2)
+                   // max(chunk_dev_bytes, 1))
     t_start = _time.perf_counter()
     if device_resident:
         pad = n_padded - batch.shape[1]
@@ -354,6 +364,12 @@ def master_album_streamed(tracks: Sequence[np.ndarray], params,
 
         ckpt_pool = ThreadPoolExecutor(max_workers=1,
                                        thread_name_prefix="pam-ckpt")
+    def _spill(y):
+        return np.asarray(strm.requantize_pcm16(y)) if pcm16 \
+            else np.asarray(y)
+
+    dev_start = len(processed)  # checkpoint-resumed entries are host numpy
+    spilled = 0
     next_dev = chunk_at(i0) if i0 < num_chunks else None
     seg_ys, seg_cells = [], []
     try:
@@ -364,6 +380,10 @@ def master_album_streamed(tracks: Sequence[np.ndarray], params,
             y, state, cells = fx(cur, stacked, state, first=(i == 0),
                                  need_cells=need_cells, channel_major=cm)
             processed.append(y)
+            if not device_resident and len(processed) - dev_start > keep_dev:
+                processed[dev_start] = _spill(processed[dev_start])
+                dev_start += 1
+                spilled += 1
             cells_list.append(cells)
             if checkpoint_dir:
                 # one segment file per checkpoint_every chunks (keyed by
@@ -391,6 +411,14 @@ def master_album_streamed(tracks: Sequence[np.ndarray], params,
             # persisting the progress an interrupted job DID make is the
             # point of checkpointing (and keeps resume deterministic).
             ckpt_pool.shutdown(wait=True)
+
+    if timings is not None:
+        timings["device_resident"] = device_resident
+        timings["spilled_chunks"] = spilled
+        timings["max_retained_bytes"] = min(len(processed), keep_dev + 1
+                                            if not device_resident
+                                            else len(processed)) \
+            * chunk_dev_bytes
 
     lengths_dev = jnp.asarray(lengths)
     all_cells = jnp.concatenate(cells_list, axis=1) if need_cells else None
@@ -426,16 +454,20 @@ def master_album_streamed(tracks: Sequence[np.ndarray], params,
             o, lstate = finalize_la(y, gains, lstate, emit_i16=pcm16,
                                     channel_major=cm)
             if o.shape[tax]:
-                finalized.append(o)
+                finalized.append(o if device_resident else np.asarray(o))
         o, _ = finalize_la(None, gains, lstate, flush=True, emit_i16=pcm16,
                            channel_major=cm)
         if o.shape[tax]:
-            finalized.append(o)
+            finalized.append(o if device_resident else np.asarray(o))
         fin_rows = False
     else:
         # rows chunks stay rows through the elementwise finalize; padded
-        # tails past each track's length are masked/cut downstream
-        finalized = [finalize(y, gains, emit_i16=pcm16) for y in processed]
+        # tails past each track's length are masked/cut downstream.  In
+        # bounded mode each finalized chunk reads back immediately so
+        # pass-B device residency stays O(budget) too.
+        finalized = [finalize(y, gains, emit_i16=pcm16) if device_resident
+                     else np.asarray(finalize(y, gains, emit_i16=pcm16))
+                     for y in processed]
         fin_rows = rows
 
     tp_max = None

@@ -6,8 +6,10 @@ chunk boundary, producing discontinuities.  Here chunking is an *execution
 strategy*, not a semantic: all stateful ops carry explicit state
 (EQ/crossover ``zi``, compressor ballistics + detector lookback tail,
 K-weighting filter state + loudness cell energies), so the streamed result
-matches the one-shot fused graph and device memory stays constant in file
-length.
+matches the one-shot fused graph and device memory is BOUNDED by
+``ChainConfig.device_budget_bytes`` regardless of file length (pass-A
+outputs beyond the budget spill to the host in wire format and re-upload
+during pass B — see ``master_streamed``).
 
 Loudness needs no second pass over samples: 100 ms cell energies of the
 *processed* signal are accumulated during the effects pass; the global gain
@@ -153,8 +155,13 @@ def _fx_chunk(chunk, params, config: ChainConfig, state: StreamState,
         x, eq_zi = iir.sosfilt_blocked_rows(sos, x, zi=state.eq_zi)
         x = stereo_width(x, params.width, channel_axis=0)
         mb_state = state.mb
+        # fold the meter's mono downmix into the multiband epilogue so the
+        # cell pass never re-reads the full chunk (see chain._master_cm)
+        meter_rows = None
+        want_mono = (need_cells and x.shape[0] > 1
+                     and config.measure_downmix == "reference_mono_mean")
         if params.multiband:
-            x, mb_state = multiband.multiband_compress_rows(
+            x = multiband.multiband_compress_rows(
                 x, config.sample_rate,
                 thresholds_db=(params.low_thresh, params.mid_thresh,
                                params.high_thresh),
@@ -164,12 +171,20 @@ def _fx_chunk(chunk, params, config: ChainConfig, state: StreamState,
                 overlap_ctrl=config.comp_overlap_ctrl,
                 ballistics=config.comp_ballistics,
                 state=None if first else mb_state, return_state=True,
-                kernel=config.mb_kernel)
+                kernel=config.mb_kernel, emit_mono=want_mono)
+            if want_mono:
+                x, meter_rows, mb_state = x
+            else:
+                x, mb_state = x
         if not need_cells:
             return x, StreamState(eq_zi=eq_zi, mb=mb_state, kw_zi=None), None
-        meter_sig = x.mean(axis=0, keepdims=True) \
-            if (config.measure_downmix == "reference_mono_mean"
-                and x.shape[0] > 1) else x
+        if meter_rows is not None:
+            meter_sig = meter_rows[None]
+        elif (config.measure_downmix == "reference_mono_mean"
+              and x.shape[0] > 1):
+            meter_sig = x.mean(axis=0, keepdims=True)
+        else:
+            meter_sig = x
         cells, _, kw_zi = loud.block_cell_energies_rows(
             meter_sig, config.sample_rate, zi=state.kw_zi, return_state=True)
         return x, StreamState(eq_zi=eq_zi, mb=mb_state, kw_zi=kw_zi), cells
@@ -303,6 +318,13 @@ def _rebuild_cells(processed, cell_list, state, config: ChainConfig,
     return rebuilt, dataclasses.replace(state, kw_zi=kw_zi)
 
 
+def _dequant_if_int(x, config: ChainConfig):
+    """Spilled pcm16 pass-A chunks re-enter pass B as int16 — dequantize."""
+    if x is not None and jnp.issubdtype(x.dtype, jnp.integer):
+        return x.astype(config.jnp_dtype()) / PCM16_SCALE
+    return x
+
+
 def _finalize_lookahead(chunk, gain, lstate, config: ChainConfig,
                         flush: bool = False, emit_i16: bool = False,
                         channel_major: bool = False):
@@ -317,6 +339,7 @@ def _finalize_lookahead(chunk, gain, lstate, config: ChainConfig,
     """
     from python_audio_mastering_tpu.ops import limiter as lim
 
+    chunk = _dequant_if_int(chunk, config)
     y = None if chunk is None else chunk * gain
     if channel_major and y is not None:
         y = y.T
@@ -357,7 +380,7 @@ def _tp_chunk(tail, chunk, config: ChainConfig, last: bool = False,
 
 
 def _finalize_chunk(chunk, gain, config: ChainConfig, emit_i16: bool = False):
-    x = chunk * gain
+    x = _dequant_if_int(chunk, config) * gain
     if config.variant == "worker":
         y = soft_limiter(x, threshold=config.limiter_threshold)
     else:
@@ -459,14 +482,17 @@ def _compiled(config: ChainConfig):
                      static_argnames=("flush", "emit_i16", "channel_major"))
     tp = jax.jit(functools.partial(_tp_chunk, config=config),
                  static_argnames=("last", "channel_major"))
-    return fx, fin, fin_la, tp
+    req = jax.jit(requantize_pcm16)
+    return fx, fin, fin_la, tp, req
 
 
 def master_streamed(audio, params: MasteringParams, config: ChainConfig,
                     chunk_seconds: float = 30.0, progress_cb=None,
                     carry_state: bool = True, checkpoint_dir: str | None = None,
-                    transfer: str = "float32", return_meters: bool = False):
-    """Master arbitrarily long audio in constant device memory.
+                    transfer: str = "float32", return_meters: bool = False,
+                    stats: dict | None = None):
+    """Master arbitrarily long audio in bounded device memory
+    (``config.device_budget_bytes``; spill policy below).
 
     Args:
       audio: ``(N, C)`` float array (numpy; ``np.memmap`` works for
@@ -478,7 +504,7 @@ def master_streamed(audio, params: MasteringParams, config: ChainConfig,
         per-chunk state reset behaviour (engine:48-77) for parity studies.
       checkpoint_dir: optional directory for chunk-granular resume: after
         each chunk, carried state + processed audio land in
-        ``chunk_NNNN.npz``; an interrupted job re-run with the same
+        ``chunk_NNNNN.pkl``; an interrupted job re-run with the same
         directory resumes at the first missing chunk instead of from zero
         (the reference restarts whole jobs, SURVEY.md §5).
       transfer: ``"float32"`` (default) or ``"pcm16"`` — int16 PCM over the
@@ -488,6 +514,19 @@ def master_streamed(audio, params: MasteringParams, config: ChainConfig,
         accumulated 100 ms cells (momentary/short-term series, LRA) plus
         the output true peak (chunked with carried boundary tails) — no
         second pass over the audio.
+      stats: optional dict that receives residency telemetry
+        (``max_retained_bytes``, ``spilled_chunks``, ``device_resident``)
+        — asserted by the bounded-memory test.
+
+    Device-memory policy: when input + retained pass-A chunks + finalized
+    outputs fit ``config.device_budget_bytes`` everything stays
+    device-resident (one transfer per file).  Otherwise the run is
+    BOUNDED: the input streams from the host per chunk, pass-A outputs
+    beyond ``budget/2`` spill to the host in wire format (pcm16 when
+    ``transfer="pcm16"`` — the link's own quantization contract; float32
+    otherwise, lossless) and re-upload during pass B, and finalized
+    chunks read back immediately — device residency stays O(budget) for
+    any file length.
 
     Returns ``(audio_out (N, C) np.float32, measured_lufs, gain_db)``, plus
     a meters dict when ``return_meters``.
@@ -507,7 +546,7 @@ def master_streamed(audio, params: MasteringParams, config: ChainConfig,
     chunk_frames = default_chunk_frames(config, chunk_seconds)
     num_chunks = max(1, -(-n // chunk_frames))
 
-    fx, fin, fin_la, tp_fn = _compiled(config)
+    fx, fin, fin_la, tp_fn, req_fn = _compiled(config)
 
     # Channel-major hot path (same gate as models.chain.master): chunks
     # live on device as (C, chunk_frames) and the whole per-chunk body runs
@@ -527,13 +566,22 @@ def master_streamed(audio, params: MasteringParams, config: ChainConfig,
             return np.ascontiguousarray(w.T).reshape(c, -1, blk)
         return np.ascontiguousarray(w.T) if cm else w
 
-    # Device-resident input when it fits comfortably (one transfer per file,
-    # chunks sliced on-device); host-streamed chunks for larger-than-HBM
-    # files (np.memmap inputs stay on the host path).
+    # Device-residency policy (config.device_budget_bytes): the input, the
+    # retained pass-A chunks, and the finalized outputs together must fit
+    # the budget, or the run switches to bounded mode — host-streamed
+    # input, oldest pass-A chunks spilled to the host in wire format and
+    # re-uploaded during pass B, finalized chunks read back immediately.
+    # np.memmap inputs always take the bounded path.
     n_padded = num_chunks * chunk_frames
     wire_itemsize = 2 if pcm16 else dtype.itemsize
-    device_resident = (not isinstance(audio, np.memmap)
-                       and n_padded * c * wire_itemsize <= 4 << 30)
+    budget = config.device_budget_bytes
+    chunk_dev_bytes = chunk_frames * c * dtype.itemsize
+    device_resident = (
+        not isinstance(audio, np.memmap)
+        and n_padded * c * wire_itemsize
+        + 2 * num_chunks * chunk_dev_bytes <= budget)
+    # bounded mode: at most keep_dev processed chunks stay device-resident
+    keep_dev = max(2, (budget // 2) // max(chunk_dev_bytes, 1))
     if device_resident:
         whole = np.asarray(audio)
         if n_padded > n:
@@ -578,6 +626,17 @@ def master_streamed(audio, params: MasteringParams, config: ChainConfig,
         if start_chunk and progress_cb:
             progress_cb(f"Resuming from chunk {start_chunk + 1}/{num_chunks}...")
 
+    def _spill(y):
+        # device → host in wire format; pass B re-uploads and (pcm16)
+        # dequantizes — same quantization contract as the link itself
+        return np.asarray(req_fn(y)) if pcm16 else np.asarray(y)
+
+    dev_start = len(processed)  # checkpoint-resumed entries are host numpy
+    mem_stats = {"max_retained_bytes": 0, "spilled_chunks": 0,
+                 "device_resident": device_resident}
+    if stats is not None:
+        stats.update(mem_stats)
+        mem_stats = stats
     next_dev = chunk_at(start_chunk) if start_chunk < num_chunks else None
     for i in range(start_chunk, num_chunks):
         cur = next_dev
@@ -587,7 +646,14 @@ def master_streamed(audio, params: MasteringParams, config: ChainConfig,
                                  first=(i == 0 or not carry_state),
                                  need_cells=need_cells, channel_major=cm)
         state = new_state if carry_state else StreamState()
-        processed.append(y)       # device-resident until pass B
+        processed.append(y)  # device-resident until pass B (or spilled)
+        mem_stats["max_retained_bytes"] = max(
+            mem_stats["max_retained_bytes"],
+            (len(processed) - dev_start) * chunk_dev_bytes)
+        if not device_resident and len(processed) - dev_start > keep_dev:
+            processed[dev_start] = _spill(processed[dev_start])
+            dev_start += 1
+            mem_stats["spilled_chunks"] += 1
         cell_list.append(cells)
         if checkpoint_dir:
             _save_checkpoint(checkpoint_dir, i, y, state, cells,
@@ -627,13 +693,13 @@ def master_streamed(audio, params: MasteringParams, config: ChainConfig,
             o, lstate = fin_la(y, gain, lstate, emit_i16=pcm16,
                                channel_major=cm)
             if o.shape[tax]:
-                finalized.append(o)
+                finalized.append(o if device_resident else np.asarray(o))
             if progress_cb:
                 progress_cb(f"Finalizing chunk {i + 1}/{num_chunks}...")
         o, _ = fin_la(None, gain, lstate, flush=True, emit_i16=pcm16,
                       channel_major=cm)
         if o.shape[tax]:
-            finalized.append(o)
+            finalized.append(o if device_resident else np.asarray(o))
         fin_rows = False
     else:
         # trim the zero-padding/ring-out tail of the last chunk BEFORE
@@ -647,7 +713,10 @@ def master_streamed(audio, params: MasteringParams, config: ChainConfig,
         for i, y in enumerate(processed):
             if not rows and i == num_chunks - 1 and rem < chunk_frames:
                 y = jax.lax.slice_in_dim(y, 0, rem, axis=tax)
-            finalized.append(fin(y, gain, emit_i16=pcm16))
+            o = fin(y, gain, emit_i16=pcm16)
+            # bounded mode: finalized chunks read back immediately so
+            # device residency never exceeds the budget in pass B either
+            finalized.append(o if device_resident else np.asarray(o))
             if progress_cb:
                 progress_cb(f"Finalizing chunk {i + 1}/{num_chunks}...")
         fin_rows = rows

@@ -277,3 +277,75 @@ def test_rows_checkpoint_resume_cross_layout(tmp_path):
     resumed, _, _ = streaming.master_streamed(
         x, params, cfg, chunk_seconds=0.2, checkpoint_dir=ck)
     np.testing.assert_allclose(resumed, full, rtol=1e-11, atol=1e-12)
+
+
+def test_bounded_device_memory_memmap(tmp_path):
+    """VERDICT r3 #5: a memmap file masters with BOUNDED device residency —
+    pass-A chunks beyond the budget spill to the host and re-upload in
+    pass B — and the output equals the fully device-resident run."""
+    import dataclasses
+
+    x = make_signal(int(FS_ROWS * 4.0), fs=FS_ROWS) * 0.4
+    params = MasteringParams.from_settings(
+        {"saturation": 10, "preset": "pop", "lufs": -15.0,
+         "multiband": True})
+    cfg = _rows_cfg(dtype="float32")
+    ref, _, _ = streaming.master_streamed(x, params, cfg, chunk_seconds=0.4)
+
+    mm_path = tmp_path / "long.f32"
+    mm = np.memmap(mm_path, dtype=np.float32, mode="w+", shape=x.shape)
+    mm[:] = x.astype(np.float32)
+    mm.flush()
+    mm = np.memmap(mm_path, dtype=np.float32, mode="r", shape=x.shape)
+
+    chunk_frames = streaming.default_chunk_frames(cfg, 0.4)
+    chunk_bytes = chunk_frames * x.shape[1] * 4
+    # budget = 2 retained chunks (the floor) → most chunks must spill
+    tight = dataclasses.replace(cfg, device_budget_bytes=4 * chunk_bytes)
+    stats = {}
+    out, _, _ = streaming.master_streamed(mm, params, tight,
+                                          chunk_seconds=0.4, stats=stats)
+    assert not stats["device_resident"]
+    assert stats["spilled_chunks"] > 0
+    assert stats["max_retained_bytes"] <= 4 * chunk_bytes
+    np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-7)
+
+    # pcm16 wire: the spill adds a second pre-gain quantization that the
+    # LUFS gain then amplifies — stays inside the documented pcm16 budget
+    # (DESIGN.md §4: ≤3e-3 peak after chain gain)
+    out16, _, _ = streaming.master_streamed(mm, params, tight,
+                                            chunk_seconds=0.4,
+                                            transfer="pcm16")
+    assert np.max(np.abs(out16 - ref)) < 3e-3
+
+
+def test_bounded_album_spill_matches_resident():
+    """Album runner: the bounded mode (spilled pass-A chunks, immediate
+    finalize readback) equals the device-resident album bit-for-bit in
+    float32 wire mode."""
+    import dataclasses
+
+    from python_audio_mastering_tpu.parallel import batch as pbatch
+    from python_audio_mastering_tpu.parallel.mesh import make_mesh
+
+    tracks = [make_signal(int(FS_ROWS * 2.0) + 777 * i, fs=FS_ROWS,
+                          seed=i) * 0.4 for i in range(3)]
+    params = MasteringParams.from_settings(
+        {"saturation": 10, "lufs": -15.0, "multiband": True})
+    cfg = _rows_cfg(dtype="float32")
+    mesh = make_mesh(devices=None)
+
+    ref_outs, ref_lufs = pbatch.master_album_streamed(
+        tracks, params, cfg, mesh=mesh, chunk_seconds=0.4)
+
+    chunk_frames = streaming.default_chunk_frames(cfg, 0.4)
+    chunk_bytes = 4 * chunk_frames * 2 * 4  # padded to 4 tracks x C=2
+    tight = dataclasses.replace(cfg, device_budget_bytes=4 * chunk_bytes)
+    tm = {}
+    outs, lufs = pbatch.master_album_streamed(
+        tracks, params, tight, mesh=mesh, chunk_seconds=0.4, timings=tm)
+    assert not tm["device_resident"]
+    assert tm["spilled_chunks"] > 0
+    for o, r in zip(outs, ref_outs):
+        np.testing.assert_allclose(o, r, rtol=0, atol=0)
+    np.testing.assert_allclose(lufs, ref_lufs, rtol=0, atol=0)
