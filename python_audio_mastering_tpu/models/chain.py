@@ -162,6 +162,12 @@ def _master_cm(x, params: MasteringParams, config: ChainConfig,
     eq = eq_sos(params, config.sample_rate).astype(xr.dtype)
     xr, _ = iir.sosfilt_blocked_rows(eq, xr, return_state=False)
     xr = stereo_width(xr, params.width, channel_axis=0)
+    # The loudness meter's mono downmix folds into the multiband's
+    # gain-apply epilogue (emit_mono) so the meter pass never re-reads the
+    # full (C, nb, L) output — one fewer full-signal pass (VERDICT r3 #6).
+    meter_rows = None
+    want_mono = (params.lufs_enabled and c > 1
+                 and config.measure_downmix == "reference_mono_mean")
     if params.multiband:
         xr = multiband.multiband_compress_rows(
             xr, config.sample_rate,
@@ -170,11 +176,15 @@ def _master_cm(x, params: MasteringParams, config: ChainConfig,
             ratios=(params.low_ratio, params.mid_ratio, params.high_ratio),
             hop=config.comp_hop, block_ctrl=config.comp_block_ctrl,
             overlap_ctrl=config.comp_overlap_ctrl,
-            ballistics=config.comp_ballistics, kernel=config.mb_kernel)
+            ballistics=config.comp_ballistics, kernel=config.mb_kernel,
+            emit_mono=want_mono)
+        if want_mono:
+            xr, meter_rows = xr
 
     if params.lufs_enabled:
         measured = integrated_loudness_rows(
-            xr, config.sample_rate, downmix=config.measure_downmix,
+            meter_rows[None] if meter_rows is not None else xr,
+            config.sample_rate, downmix=config.measure_downmix,
             valid_frames=vf)
         gain = gain_for_target(measured, params.lufs, xr.dtype)
         xr = xr * gain

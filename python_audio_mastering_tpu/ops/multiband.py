@@ -280,7 +280,7 @@ def _run_ballistics(stacked, sample_rate, hop, ballistics, block_ctrl,
 def _multiband_rows_pallas(xrows, sample_rate, thresholds_db, ratios,
                            low_crossover, high_crossover, hop, block_ctrl,
                            overlap_ctrl, ballistics, state, return_state,
-                           interpret=False):
+                           emit_mono=False, interpret=False):
     """Fused-kernel execution of the worker-variant rows multiband.
 
     Same contract, state dict, and recombination algebra as the XLA body of
@@ -314,10 +314,12 @@ def _multiband_rows_pallas(xrows, sample_rate, thresholds_db, ratios,
     cols = jnp.stack([gains[:, 1], gains[:, 0] - gains[:, 1],
                       gains[:, 2] - gains[:, 1]])  # (3, T)
     y = pmb.band_gain_apply(xrows, s_in_lp, s_in_hp, cols, lp_sos, hp_sos,
-                            hop=hop, interpret=interpret)
+                            hop=hop, emit_mono=emit_mono,
+                            interpret=interpret)
     if return_state:
-        return y, {"crossover": {"lp": z_lp, "hp": z_hp}, "att": att_f,
-                   "ctrl_tail": new_ctrl_tail}
+        st = {"crossover": {"lp": z_lp, "hp": z_hp}, "att": att_f,
+              "ctrl_tail": new_ctrl_tail}
+        return (*y, st) if emit_mono else (y, st)
     return y
 
 
@@ -325,7 +327,8 @@ def multiband_compress_rows(xrows, sample_rate, thresholds_db, ratios,
                             low_crossover=250.0, high_crossover=4000.0,
                             hop=1, block_ctrl=None, overlap_ctrl=None,
                             ballistics="auto", state=None,
-                            return_state=False, kernel="auto"):
+                            return_state=False, kernel="auto",
+                            emit_mono=False):
     """Fused worker-variant 3-band compressor over ROWS-form ``(C, nb, L)``.
 
     The chain/streaming hot path (models/chain._master_cm and the rows
@@ -359,7 +362,8 @@ def multiband_compress_rows(xrows, sample_rate, thresholds_db, ratios,
             return _multiband_rows_pallas(
                 xrows, sample_rate, thresholds_db, ratios, low_crossover,
                 high_crossover, hop, block_ctrl, overlap_ctrl, ballistics,
-                state, return_state, interpret=interpret)
+                state, return_state, emit_mono=emit_mono,
+                interpret=interpret)
     lp_sos, hp_sos = _crossover_sos(sample_rate, low_crossover,
                                     high_crossover)
     zi = state.get("crossover") or {}
@@ -411,9 +415,10 @@ def multiband_compress_rows(xrows, sample_rate, thresholds_db, ratios,
     gm, dl, dh = grows[0][None], grows[1][None], grows[2][None]
     y = xrows * gm + low * dl + high * dh
     if return_state:
-        return y, {"crossover": {"lp": z_lp, "hp": z_hp}, "att": att_f,
-                   "ctrl_tail": new_ctrl_tail}
-    return y
+        st = {"crossover": {"lp": z_lp, "hp": z_hp}, "att": att_f,
+              "ctrl_tail": new_ctrl_tail}
+        return (y, y.mean(axis=0), st) if emit_mono else (y, st)
+    return (y, y.mean(axis=0)) if emit_mono else y
 
 
 def multiband_compress(x, sample_rate, thresholds_db, ratios, variant="worker",

@@ -117,3 +117,22 @@ def test_rows_kernel_streamed_state_carry():
     np.testing.assert_allclose(streamed, one, atol=2e-4)
     np.testing.assert_allclose(np.asarray(y2x), np.asarray(y2p),
                                rtol=5e-5, atol=5e-6)
+
+
+def test_emit_mono_matches_channel_mean():
+    """emit_mono's folded loudness downmix must equal y.mean(axis=0) on
+    both backends (and thread through return_state)."""
+    L, nb = 512, 24
+    xrows = _rows(nb * L, L=L)
+    common = dict(hop=8, ballistics="scan", **KW)
+    for k in ("xla", "pallas_interpret"):
+        y, ym, st = multiband.multiband_compress_rows(
+            xrows, FS, kernel=k, emit_mono=True, return_state=True,
+            **common)
+        y2 = multiband.multiband_compress_rows(xrows, FS, kernel=k, **common)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y2),
+                                   rtol=0, atol=0)
+        np.testing.assert_allclose(np.asarray(ym),
+                                   np.asarray(y).mean(axis=0),
+                                   rtol=1e-6, atol=1e-8)
+        assert st.get("ctrl_tail") is not None
