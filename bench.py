@@ -173,11 +173,20 @@ def main():
         # 30-90 min on this tunneled link.
         skip_album = os.environ.get("BENCH_SKIP_ALBUM") == "1"
         prev_configs = {}
+        prev_device = None
         details_path = os.path.join(os.path.dirname(__file__),
                                     "BENCH_DETAILS.json")
         if skip_album and os.path.exists(details_path):
-            with open(details_path) as f:
-                prev_configs = json.load(f).get("configs", {})
+            try:
+                with open(details_path) as f:
+                    prev = json.load(f)
+                prev_configs = prev.get("configs", {})
+                prev_device = prev.get("device")
+            except (ValueError, OSError) as e:
+                # a corrupt/truncated previous artifact must not abort the
+                # whole refresh — degrade to fresh-only configs
+                print(f"WARNING: could not read previous {details_path}: "
+                      f"{e}; album configs will be absent", file=sys.stderr)
 
         # (1) LUFS-normalize 30 s — meter parity + speed.  `meter_err` is
         # the BASELINE metric (our gated measurement vs the independent
@@ -219,11 +228,23 @@ def main():
             "rtf_throughput_pipelined": round(seconds / wall_nc_pipe, 1),
             **_roofline(fn_nc, (audio, params), wall_nc_pipe, dev)}
 
+        # (1c) kernel A/B: the same rows chain with the XLA multiband body
+        # instead of the fused Pallas kernels — quantifies the kernel win
+        cfg_xmb = _dc.replace(cfg, mb_kernel="xla")
+        fn_xmb = jax.jit(lambda a, p: master(a, p, cfg_xmb))
+        wall_xmb, _ = _time_fn(fn_xmb, audio, params)
+        wall_xmb_pipe = _time_fn_pipelined(fn_xmb, audio, params)
+        details["configs"]["full_chain_3min_xla_multiband"] = {
+            "wall_s": wall_xmb, "rtf": seconds / wall_xmb,
+            "wall_s_pipelined": round(wall_xmb_pipe, 4),
+            "rtf_throughput_pipelined": round(seconds / wall_xmb_pipe, 1),
+            **_roofline(fn_xmb, (audio, params), wall_xmb_pipe, dev)}
+
         # (2) 4-band EQ, four presets, 3-min
         eq_walls = {}
         for preset in ("techno", "pop", "dubstep", "rock"):
             p = MasteringParams.from_settings({"preset": preset, "lufs": None})
-            wall, _ = _time_fn(fn, audio, p)  # same compiled chain, MB off? use chain w/o mb
+            wall, _ = _time_fn(fn, audio, p)
             eq_walls[preset] = wall
         details["configs"]["eq_presets_3min"] = {
             "wall_s": eq_walls, "rtf": seconds / max(eq_walls.values()),
@@ -256,10 +277,22 @@ def main():
         # real PCIe host).  A second run with the timings dict inserts sync
         # barriers so h2d/compute/d2h separate and compute-only rtf is a
         # measured number, not a link-probe estimate.
+        def _link_probe():
+            # host↔device link calibration: this environment tunnels the
+            # TPU, so album jobs are link-bound end to end; on a real TPU
+            # host PCIe makes the transfer negligible.  Probed immediately
+            # before AND after each link-bound config so cross-round swings
+            # of the shared tunnel (~10x observed) are attributable.
+            blob = np.zeros((64 << 20) // 4, np.float32)
+            t0 = time.perf_counter()
+            _sync(jax.device_put(blob))
+            return round((64 / 1024) / (time.perf_counter() - t0), 4)
+
         if not skip_album:
             tracks = [_mk_audio(300.0, seed=10 + i) for i in range(12)]
             album_sec = 12 * 300.0
             mesh1 = pmesh.make_mesh(devices=jax.devices()[:1])
+            link_before = _link_probe()
             t0 = time.perf_counter()
             outs, _ = pbatch.master_album_streamed(
                 tracks, params, cfg, mesh=mesh1, transfer="pcm16")
@@ -273,32 +306,33 @@ def main():
             pbatch.master_album_streamed(
                 tracks, params, cfg, mesh=mesh1, transfer="pcm16", timings=tm)
             wall_run3 = time.perf_counter() - t0
+            link_after = _link_probe()
             # The bench chip sits behind a shared RPC tunnel whose throughput
             # swings ~10x between runs (run 1, compile included, has been
             # observed FASTER than run 2).  Steady-state wall = min over the
             # three runs; the per-run walls are kept for honesty.
             runs = [compile_and_run, wall_run2, wall_run3]
             wall = min(runs)
-            # host↔device link calibration, for context only: this environment
-            # tunnels the TPU, so album jobs are link-bound end to end; on a
-            # real TPU host PCIe makes the transfer negligible
-            blob = np.zeros((64 << 20) // 4, np.float32)
-            t0 = time.perf_counter()
-            _sync(jax.device_put(blob))
-            put_gbps = (64 / 1024) / (time.perf_counter() - t0)
             entry = {
                 "wall_s": wall, "first_call_s": compile_and_run,
                 "wall_runs_s": [round(r, 2) for r in runs],
                 "rtf": album_sec / wall,
                 "transfer": "pcm16",
-                "host_device_link_GBps": round(put_gbps, 4),
+                "link_before_GBps": link_before,
+                "link_after_GBps": link_after,
             }
             if tm:
                 entry["h2d_s"] = round(tm.get("h2d_s", 0.0), 3)
                 entry["compute_s"] = round(tm.get("compute_s", 0.0), 3)
                 entry["d2h_s"] = round(tm.get("d2h_s", 0.0), 3)
+                entry["wire_bytes_in"] = tm.get("wire_bytes_in")
+                entry["wire_bytes_out"] = tm.get("wire_bytes_out")
                 if tm.get("compute_s"):
                     entry["compute_only_rtf"] = round(album_sec / tm["compute_s"], 1)
+                # the wall with the measured link legs subtracted — the
+                # cross-round-comparable number on a swinging tunnel
+                entry["wall_minus_link_s"] = round(
+                    wall_run3 - tm.get("h2d_s", 0.0) - tm.get("d2h_s", 0.0), 2)
                 entry["transfer_bound"] = (
                     tm.get("h2d_s", 0) + tm.get("d2h_s", 0) > tm.get("compute_s", 0))
             details["configs"]["album_12x5min_streamed"] = entry
@@ -366,7 +400,10 @@ def main():
             settings = {"saturation": 20, "preset": "techno", "width": 1.3,
                         "lufs": -14.0, "multiband": True}
             # two runs, min recorded: the link's ~10x swing would otherwise
-            # decide this config (compute is ~2 s of a 150-700 s wall)
+            # decide this config (compute is ~2 s of a 150-700 s wall).
+            # Runs in the SAME session as config 5 so the two share link
+            # weather, with link probes before/after for attribution.
+            worker_link_before = _link_probe()
             worker_runs = []
             for _ in range(2):
                 t0 = time.perf_counter()
@@ -380,16 +417,31 @@ def main():
                 "vs_config5_wall": round(
                     worker_wall
                     / details["configs"]["album_12x5min_streamed"]["wall_s"], 2),
+                "link_before_GBps": worker_link_before,
+                "link_after_GBps": _link_probe(),
                 "env": pworker.job_options(),
             }
             _shutil.rmtree(root, ignore_errors=True)
 
         if skip_album:
+            carried = []
             for _k in ("album_12x5min_streamed", "album_via_worker_runjob"):
                 if _k in prev_configs:
-                    details["configs"][_k] = prev_configs[_k]
-            print("BENCH_SKIP_ALBUM=1: album/worker configs carried forward "
-                  "from the previous BENCH_DETAILS.json", file=sys.stderr)
+                    # stamp provenance IN the artifact: these numbers are
+                    # from a previous run (possibly a different device) —
+                    # they must not read as measurements of this run
+                    details["configs"][_k] = {
+                        **prev_configs[_k], "carried_forward": True,
+                        "carried_from_device": prev_device}
+                    carried.append(_k)
+                else:
+                    print(f"WARNING: BENCH_SKIP_ALBUM=1 but {_k!r} was not "
+                          "in the previous BENCH_DETAILS.json — it is "
+                          "absent from this artifact", file=sys.stderr)
+            if carried:
+                print("BENCH_SKIP_ALBUM=1: carried forward from the "
+                      f"previous BENCH_DETAILS.json: {', '.join(carried)}",
+                      file=sys.stderr)
 
         with open(os.path.join(os.path.dirname(__file__), "BENCH_DETAILS.json"),
                   "w") as f:
