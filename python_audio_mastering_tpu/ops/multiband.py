@@ -199,10 +199,16 @@ def detector_stats_fused(x, low, high, sample_rate, thresholds_db, ratios,
 
 
 def _fused_stats_from_ctrl(xb, t, sample_rate, thresholds_db, ratios, hop,
-                           ctrl_tail, look_ctrl, dt):
+                           ctrl_tail, look_ctrl, dt,
+                           global_ctrl_pos0=None, band_major=False):
     """Shared tail of the fused detector: windowed means + gain computer.
 
     ``xb``: ``(3, t)`` hop-bucketed x² sums per band (low, mid, high).
+    ``global_ctrl_pos0`` (traced scalar, optional): this segment's first
+    control step's GLOBAL index — the sequence-parallel case, where a
+    shard always carries a (zero-padded on shard 0) tail but the pydub
+    partial-window COUNT must clamp to the true global position
+    (reference detector window: pydub ``get_sample_slice(i-look, i)``).
     Returns ``(stats dict of (t, 3) arrays, new_ctrl_tail (3, look_ctrl))``.
     """
     from python_audio_mastering_tpu.ops.compressor import cumsum_mxu
@@ -225,7 +231,12 @@ def _fused_stats_from_ctrl(xb, t, sample_rate, thresholds_db, ratios, hop,
         hi = jax.lax.dynamic_slice_in_dim(csum[i], offset, t)
         if offset >= wb:
             lo = jax.lax.dynamic_slice_in_dim(csum[i], offset - wb, t)
-            cnt = jnp.full((t,), max(look_eff, 1), dt)
+            if global_ctrl_pos0 is None:
+                cnt = jnp.full((t,), max(look_eff, 1), dt)
+            else:
+                cnt = jnp.minimum(
+                    (global_ctrl_pos0 + jnp.arange(t)) * hop,
+                    max(look_eff, 1)).clip(1).astype(dt)
         else:
             lo = jnp.concatenate([jnp.zeros((wb,), dt), hi[: t - wb]])
             cnt = jnp.minimum(jnp.arange(t) * hop,
@@ -234,10 +245,21 @@ def _fused_stats_from_ctrl(xb, t, sample_rate, thresholds_db, ratios, hop,
         att_f.append(max(attacks[i] * sample_rate / 1000.0, 1.0))
         rel_f.append(max(releases[i] * sample_rate / 1000.0, 1.0))
 
-    from python_audio_mastering_tpu.ops.compressor import gain_computer_stats
+    from python_audio_mastering_tpu.ops.compressor import (
+        gain_computer_stats, gain_computer_stats_bt)
 
-    ms = jnp.stack(ms_cols, axis=-1)  # (T, 3)
-    stats = gain_computer_stats(ms, thresholds_db, ratios, att_f, rel_f, hop)
+    if band_major:
+        # (3, T) stats end to end: bands ride the 8-sublane axis instead
+        # of wasting 125/128 lanes per control-rate op, and the Pallas
+        # ballistics kernel consumes this layout natively (no full-length
+        # transpose copies) — the fused-kernel path's layout
+        ms = jnp.stack(ms_cols, axis=0)  # (3, T)
+        stats = gain_computer_stats_bt(ms, thresholds_db, ratios, att_f,
+                                       rel_f, hop)
+    else:
+        ms = jnp.stack(ms_cols, axis=-1)  # (T, 3)
+        stats = gain_computer_stats(ms, thresholds_db, ratios, att_f,
+                                    rel_f, hop)
     if look_ctrl > 0:
         pad = max(0, look_ctrl - ext.shape[1])
         new_tail = jnp.concatenate(
@@ -245,6 +267,33 @@ def _fused_stats_from_ctrl(xb, t, sample_rate, thresholds_db, ratios, hop,
     else:
         new_tail = jnp.zeros((3, 0), dt)
     return stats, new_tail
+
+
+def _run_ballistics_bt(stacked_bt, sample_rate, hop, ballistics, block_ctrl,
+                       overlap_ctrl, att0, interpret=False):
+    """Band-major ``(3, T)`` ballistics dispatch for the fused-kernel path.
+
+    The Pallas kernel consumes ``(B, T)`` natively (no transpose copies);
+    the scan/blocked fallbacks transpose at the control rate.  Returns
+    ``(att (3, T), att_final (3,))``.
+    """
+    from python_audio_mastering_tpu.ops import pallas_kernels as pk
+
+    if ballistics == "auto":
+        ballistics = "pallas" if (pk.available() or interpret) else (
+            "blocked" if block_ctrl is not None else "scan")
+    if ballistics == "pallas":
+        dt = stacked_bt["max_att"].dtype
+        ca = jnp.asarray([hop / max(a * sample_rate / 1000.0, 1.0)
+                          for a, _ in BAND_BALLISTICS_MS], dt)
+        cr = jnp.asarray([hop / max(r * sample_rate / 1000.0, 1.0)
+                          for _, r in BAND_BALLISTICS_MS], dt)
+        return pk.ballistics_pallas_rates_bt(stacked_bt["max_att"], ca, cr,
+                                             att0, interpret=interpret)
+    stacked = {k: v.T for k, v in stacked_bt.items()}
+    att, att_f = _run_ballistics(stacked, sample_rate, hop, ballistics,
+                                 block_ctrl, overlap_ctrl, att0)
+    return att.T, att_f
 
 
 def _run_ballistics(stacked, sample_rate, hop, ballistics, block_ctrl,
@@ -307,12 +356,13 @@ def _multiband_rows_pallas(xrows, sample_rate, thresholds_db, ratios,
     look_ctrl = detector_lookpad(sample_rate, hop) // hop
     stacked, new_ctrl_tail = _fused_stats_from_ctrl(
         xb, t, sample_rate, thresholds_db, ratios, hop,
-        state.get("ctrl_tail"), look_ctrl, dt)
-    att, att_f = _run_ballistics(stacked, sample_rate, hop, ballistics,
-                                 block_ctrl, overlap_ctrl, state.get("att"))
-    gains = 10.0 ** (-att / 20.0)  # (T, 3) control-rate
-    cols = jnp.stack([gains[:, 1], gains[:, 0] - gains[:, 1],
-                      gains[:, 2] - gains[:, 1]])  # (3, T)
+        state.get("ctrl_tail"), look_ctrl, dt, band_major=True)
+    att, att_f = _run_ballistics_bt(stacked, sample_rate, hop, ballistics,
+                                    block_ctrl, overlap_ctrl,
+                                    state.get("att"), interpret=interpret)
+    gains = 10.0 ** (-att / 20.0)  # (3, T) control-rate, band-major
+    cols = jnp.stack([gains[1], gains[0] - gains[1],
+                      gains[2] - gains[1]])  # (3, T)
     y = pmb.band_gain_apply(xrows, s_in_lp, s_in_hp, cols, lp_sos, hp_sos,
                             hop=hop, emit_mono=emit_mono,
                             interpret=interpret)

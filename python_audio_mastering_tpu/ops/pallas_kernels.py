@@ -31,7 +31,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["ballistics_pallas", "ballistics_pallas_rates", "available"]
+__all__ = ["ballistics_pallas", "ballistics_pallas_rates",
+           "ballistics_pallas_rates_bt", "available"]
 
 _SUBLANES = 8   # float32 sublane count; bands are padded up to this
 _LANES = 128
@@ -161,6 +162,33 @@ def _run(m, ca, cr, att0, tile, interpret):
     return out, final
 
 
+def ballistics_pallas_rates_bt(max_att_bt, attack_rate, release_rate,
+                               att0=None, interpret: bool = False):
+    """Band-major ``(B, T)`` twin of :func:`ballistics_pallas_rates`.
+
+    The kernel's native layout is band-major already (bands on sublanes,
+    time on lanes) — the ``(T, B)`` wrapper pays a full-length transpose
+    copy each way (measured 32 MB per leg on a 3-min hop-8 track).  Control
+    pipelines that keep stats band-major (the fused Pallas multiband) call
+    this directly.  Returns ``(att (B, T), att_final (B,))``.
+    """
+    m = max_att_bt
+    b, t = m.shape
+    if b > _SUBLANES:
+        raise ValueError(f"at most {_SUBLANES} bands, got {b}")
+    dt = m.dtype
+    if att0 is None:
+        att0 = jnp.zeros((b,), dt)
+    quantum = _LANES * _LANES
+    t_pad = -(-t // quantum) * quantum
+    m_p = jnp.pad(m.astype(dt), ((0, _SUBLANES - b), (0, t_pad - t)))
+    ca_p = jnp.pad(jnp.asarray(attack_rate, dt), (0, _SUBLANES - b))[:, None]
+    cr_p = jnp.pad(jnp.asarray(release_rate, dt), (0, _SUBLANES - b))[:, None]
+    att0_p = jnp.pad(jnp.asarray(att0, dt), (0, _SUBLANES - b))[:, None]
+    out, final = _run(m_p, ca_p, cr_p, att0_p, quantum, interpret)
+    return out[:b, :t], final[:b, 0]
+
+
 def ballistics_pallas_rates(max_att, attack_rate, release_rate, att0=None,
                             tile: int = 16384, interpret: bool = False):
     """Exact sequential ballistics as a two-pass Pallas pipeline
@@ -173,35 +201,16 @@ def ballistics_pallas_rates(max_att, attack_rate, release_rate, att0=None,
         (``hop/attack_frames`` and ``hop/release_frames``).
     Returns ``(att (T, B), att_final (B,))`` — the ``attenuation_scan``
     contract.  T is padded internally to a multiple of 128² (zero targets
-    freeze the state, so padding is inert).
+    freeze the state, so padding is inert; the pass-1 tile is pinned to
+    that quantum — its rolling boundary accumulator is 128 wide).
     """
     m = max_att
     squeeze = m.ndim == 1
     if squeeze:
         m = m[:, None]
-    t, b = m.shape
-    if b > _SUBLANES:
-        raise ValueError(f"at most {_SUBLANES} bands, got {b}")
-    dt = m.dtype
-    if att0 is None:
-        att0 = jnp.zeros((b,), dt)
-
-    quantum = _LANES * _LANES  # 128 blocks of 128 steps per replay tile
-    t_pad = -(-t // quantum) * quantum
-    # The boundary kernel emits exactly _LANES boundary states per grid
-    # step (its rolling accumulator is _LANES wide), so the pass-1 tile is
-    # pinned to the quantum regardless of the requested hint — a larger
-    # tile would need a wider accumulator and measured no faster.
-    tile = quantum
-
-    m_p = jnp.pad(m.astype(dt), ((0, t_pad - t), (0, _SUBLANES - b))).T
-    ca_p = jnp.pad(jnp.asarray(attack_rate, dt), (0, _SUBLANES - b))[:, None]
-    cr_p = jnp.pad(jnp.asarray(release_rate, dt), (0, _SUBLANES - b))[:, None]
-    att0_p = jnp.pad(jnp.asarray(att0, dt), (0, _SUBLANES - b))[:, None]
-
-    out, final = _run(m_p, ca_p, cr_p, att0_p, tile, interpret)
-    att = out.T[:t, :b]
-    att_f = final[:b, 0]
+    att, att_f = ballistics_pallas_rates_bt(m.T, attack_rate, release_rate,
+                                            att0=att0, interpret=interpret)
+    att = att.T
     if squeeze:
         att = att[:, 0]
         att_f = att_f[0]

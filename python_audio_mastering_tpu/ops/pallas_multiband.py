@@ -59,6 +59,13 @@ __all__ = ["band_energies", "band_gain_apply", "available"]
 
 _SUP = 128  # blocks per superblock (grid step); M·L = 64k samples/step
 
+# Mosaic's default f32 matmul runs reduced-precision passes — measured
+# 0.105 max abs chain error vs the XLA path (which dots at HIGHEST) on the
+# real chip, vs exact equality in interpret mode.  HIGHEST restores the
+# XLA path's 6-pass f32 contraction; the kernels are HBM-bound, so the
+# extra MXU passes are hidden.
+_DOT = functools.partial(jnp.dot, precision=jax.lax.Precision.HIGHEST)
+
 
 @functools.lru_cache(maxsize=32)
 def _filter_ops_np(sos_bytes, k, L):
@@ -92,12 +99,12 @@ def _bands_block(x_ref, t_ref, wt_ref, slp_ref, shp_ref):
     """Recompute (x, low, high) for one superblock, all ``(C·M, L)``."""
     c, m, L = x_ref.shape
     xall = x_ref[:, :, :].reshape(c * m, L)
-    y0 = jnp.dot(xall, t_ref[:, :], preferred_element_type=xall.dtype)
+    y0 = _DOT(xall, t_ref[:, :], preferred_element_type=xall.dtype)
     s_lp = slp_ref[:, :, :].reshape(c * m, slp_ref.shape[2])
     s_hp = shp_ref[:, :, :].reshape(c * m, shp_ref.shape[2])
-    low = y0[:, :L] + jnp.dot(s_lp, wt_ref[0],
+    low = y0[:, :L] + _DOT(s_lp, wt_ref[0],
                               preferred_element_type=xall.dtype)
-    high = y0[:, L:] + jnp.dot(s_hp, wt_ref[1],
+    high = y0[:, L:] + _DOT(s_hp, wt_ref[1],
                                preferred_element_type=xall.dtype)
     return xall, low, high
 
@@ -113,7 +120,7 @@ def _energies_kernel(x_ref, t_ref, wt_ref, slp_ref, shp_ref, *refs, inv_c):
         if bk_ref is None:
             out_ref[band] = esum * inv_c
         else:
-            out_ref[band] = jnp.dot(esum, bk_ref[:, :],
+            out_ref[band] = _DOT(esum, bk_ref[:, :],
                                     preferred_element_type=esum.dtype) * inv_c
 
 
@@ -127,11 +134,11 @@ def _gain_apply_kernel(x_ref, t_ref, wt_ref, slp_ref, shp_ref, cols_ref,
     if up_ref is None:
         gm, dl, dh = cols_ref[0], cols_ref[1], cols_ref[2]  # (M, L)
     else:
-        gm = jnp.dot(cols_ref[0], up_ref[:, :],
+        gm = _DOT(cols_ref[0], up_ref[:, :],
                      preferred_element_type=xall.dtype)
-        dl = jnp.dot(cols_ref[1], up_ref[:, :],
+        dl = _DOT(cols_ref[1], up_ref[:, :],
                      preferred_element_type=xall.dtype)
-        dh = jnp.dot(cols_ref[2], up_ref[:, :],
+        dh = _DOT(cols_ref[2], up_ref[:, :],
                      preferred_element_type=xall.dtype)
     y = (xall.reshape(c, m, L) * gm[None]
          + low.reshape(c, m, L) * dl[None]
@@ -142,6 +149,64 @@ def _gain_apply_kernel(x_ref, t_ref, wt_ref, slp_ref, shp_ref, cols_ref,
         # meter pass reads this (N,) mono signal instead of re-reading the
         # full (N, C) output (VERDICT r3 #6 — one fewer full-signal pass)
         mono_ref[:, :] = (y[0] if c == 1 else jnp.sum(y, axis=0)) * (1.0 / c)
+
+
+def _bands_from_states_xla(xrows, s_in_lp, s_in_hp, sos_lp, sos_hp):
+    """XLA mirror of the kernels' band recompute: ``band = rows @ T +
+    s_in @ Wᵀ`` — same operators, same contractions.  Used where the
+    kernels cannot run (CPU tests, vmapped album paths)."""
+    c, nb, L = xrows.shape
+    rows = xrows.reshape(c * nb, L)
+    out = []
+    for sos, s_in in ((sos_lp, s_in_lp), (sos_hp, s_in_hp)):
+        t_np, wt_np = _filter_ops_np(
+            np.asarray(sos, np.float64).tobytes(), sos.shape[0], L)
+        y = _DOT(rows, jnp.asarray(t_np, xrows.dtype)) + \
+            _DOT(s_in.reshape(c * nb, s_in.shape[2]),
+                 jnp.asarray(wt_np, xrows.dtype))
+        out.append(y.reshape(c, nb, L))
+    return tuple(out)
+
+
+def band_energies_xla(xrows, s_in_lp, s_in_hp, sos_lp, sos_hp, hop=1):
+    """XLA mirror of :func:`band_energies` (same values, bands DO
+    materialize) — the fallback for paths the kernels can't serve."""
+    from python_audio_mastering_tpu.ops.multiband import _bucket_matrix
+
+    c, nb, L = xrows.shape
+    low, high = _bands_from_states_xla(xrows, s_in_lp, s_in_hp,
+                                       sos_lp, sos_hp)
+    mid = xrows - low - high
+    inv_c = 1.0 / c
+    rows = []
+    for sig in (low, mid, high):
+        e = (sig * sig).sum(axis=0).reshape(nb, L)
+        if hop > 1:
+            e = _DOT(e, jnp.asarray(_bucket_matrix(L, hop), xrows.dtype))
+        rows.append(e.reshape(-1) * inv_c)
+    return jnp.stack(rows)
+
+
+def band_gain_apply_xla(xrows, s_in_lp, s_in_hp, cols, sos_lp, sos_hp,
+                        hop=1, emit_mono: bool = False):
+    """XLA mirror of :func:`band_gain_apply` (same recombination)."""
+    from python_audio_mastering_tpu.ops.multiband import _bucket_matrix
+
+    c, nb, L = xrows.shape
+    low, high = _bands_from_states_xla(xrows, s_in_lp, s_in_hp,
+                                       sos_lp, sos_hp)
+    lh = L // hop
+    cols3 = cols.reshape(3, nb, lh)
+    if hop > 1:
+        up = jnp.asarray(np.ascontiguousarray(_bucket_matrix(L, hop).T),
+                         xrows.dtype)
+        g = _DOT(cols3.reshape(3 * nb, lh), up).reshape(3, nb, L)
+    else:
+        g = cols3
+    y = (xrows * g[0][None] + low * g[1][None] + high * g[2][None])
+    if emit_mono:
+        return y, y.mean(axis=0)
+    return y
 
 
 def band_energies(xrows, s_in_lp, s_in_hp, sos_lp, sos_hp, hop=1,

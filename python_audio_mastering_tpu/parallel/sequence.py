@@ -126,8 +126,15 @@ def _sharded_ballistics_exact(stats, axis):
     return att
 
 
-def _sharded_ballistics(stats, axis, block_ctrl, overlap_ctrl, coarse=64):
-    """Coarse global pre-scan (replicated) + per-shard blocked refinement."""
+def _sharded_ballistics(stats, axis, block_ctrl, overlap_ctrl, coarse=64,
+                        use_pallas=False):
+    """Coarse global pre-scan (replicated) + per-shard refinement.
+
+    ``use_pallas``: run the per-shard recurrence through the exact Pallas
+    ballistics kernel from the coarse warm start (strictly more accurate
+    than the blocked refinement, and the measured bottleneck of the old
+    SP body — the vmapped overlap scans cost ~45 ms/60 s audio on the
+    bench chip vs ~2 ms for the kernel)."""
     d = jax.lax.axis_size(axis)
     idx = jax.lax.axis_index(axis)
     t_local = stats["max_att"].shape[0]
@@ -143,6 +150,11 @@ def _sharded_ballistics(stats, axis, block_ctrl, overlap_ctrl, coarse=64):
     att0 = jnp.where(idx == 0,
                      jnp.zeros_like(att_coarse[0]),
                      att_coarse[jnp.maximum(idx * t_sub - 1, 0)])
+    if use_pallas:
+        from python_audio_mastering_tpu.ops import pallas_kernels as pk
+
+        att, _ = pk.ballistics_pallas(stats, att0=att0)
+        return att
     att, _ = comp.attenuation_blocked(stats, block_ctrl, overlap_ctrl,
                                       att0=att0, coarse_factor=coarse)
     return att
@@ -244,6 +256,235 @@ def _sharded_lookahead(x, axis, n_valid, sample_rate, ceiling_db=-1.0,
     g_in = jnp.minimum(c_in, s_in * 1.0 + o_in)  # global g0 = 1
     gains = jnp.minimum(c_p, s_p * g_in + o_p)
     return x * gains[:, None]
+
+
+@functools.lru_cache(maxsize=128)
+def _a_pow_static(sos_bytes, k, n):
+    """``A^n`` of a static cascade, float64 host build (shard transition)."""
+    a, _, _, _ = iir._state_space_static(sos_bytes, k)
+    return np.linalg.matrix_power(a, n)
+
+
+def _rows_shard_states(sos_list, xrows, axis, want_block_states=False):
+    """TRUE incoming cascade states for F filters over a BLOCKS-sharded
+    rows signal ``(C, nb_loc, L)`` — the rows-form heart of the SP chain.
+
+    One shared ``rows @ G_cat`` read yields every filter's local block
+    summaries; the local zero-state boundary recurrence's final state is
+    each shard's transition summary, which ``all_gather``s (a few hundred
+    bytes over ICI) and prefix-folds through the static ``A^{n_loc}``
+    shard transition exactly as :func:`ops.iir.sosfilt_sharded` does; the
+    boundary recurrence then re-runs (control-rate, cheap) from the true
+    shard-incoming state.  Traced coefficients (the EQ) take the in-graph
+    operator path with ``A^{n_loc}`` by binary exponentiation.
+
+    Returns ``(s_ins, zis)``: per-filter per-block TRUE incoming states
+    ``(C, nb, S)`` (``None``s unless ``want_block_states``) and per-shard
+    incoming scipy-layout states ``(K, 2, C)`` (for handing to the
+    ordinary rows filters / ``multiband`` as carried streaming state).
+    """
+    c, nb, L = xrows.shape
+    dt = xrows.dtype
+    rows = xrows.reshape(c * nb, L)
+    d = jax.lax.axis_size(axis)
+    idx = jax.lax.axis_index(axis)
+
+    ops, statics = [], []
+    for sos in sos_list:
+        static = None
+        if isinstance(sos, np.ndarray):
+            static = np.asarray(sos, np.float64)
+        elif isinstance(sos, jax.Array) and not isinstance(
+                sos, jax.core.Tracer):
+            static = np.asarray(sos, np.float64)
+        statics.append(static)
+        if static is not None:
+            o = iir._blocked_operators_static(static.tobytes(),
+                                              static.shape[0], L)
+            ops.append(tuple(jnp.asarray(m, dt) for m in o))
+        else:
+            ops.append(iir._blocked_operators(iir._as_sos(sos, dt), L))
+
+    g_cat = jnp.concatenate([g for (_, g, _, _) in ops], axis=1)
+    tv_cat = jnp.dot(rows, g_cat, precision=jax.lax.Precision.HIGHEST)
+
+    s_ins, zis = [], []
+    col = 0
+    for f, (t_mat, g, w, al) in enumerate(ops):
+        s_dim = al.shape[0]
+        tv = tv_cat[:, col: col + s_dim].reshape(c, nb, s_dim)
+        col += s_dim
+        if statics[f] is not None:
+            bfun = (lambda tvc, s0c, _st=statics[f], _al=al:
+                    iir._boundary_states_static(tvc, s0c, _st, L, nb, _al,
+                                                dt))
+            a_shard = jnp.asarray(_a_pow_static(
+                statics[f].tobytes(), statics[f].shape[0], nb * L), dt)
+        else:
+            bfun = (lambda tvc, s0c, _al=al:
+                    iir._boundary_states_traced(tvc, s0c, _al))
+            a_full, _, _, _ = iir.cascade_state_space(
+                iir._as_sos(sos_list[f], dt))
+            a_shard = iir._matpow_traced(a_full, nb * L)
+        vb = jax.vmap(bfun, in_axes=(0, 1), out_axes=(0, 1))
+        s0z = jnp.zeros((s_dim, c), dt)
+        _, s_last0 = vb(tv, s0z)                     # (S, C): shard summary
+        t_all = jax.lax.all_gather(s_last0, axis)    # (D, S, C)
+        s_acc = jnp.zeros_like(s_last0)
+        s_in_sh = s_acc
+        for j in range(d):
+            s_in_sh = jnp.where(idx == j, s_acc, s_in_sh)
+            s_acc = jnp.einsum("ij,jc->ic", a_shard, s_acc,
+                               precision=jax.lax.Precision.HIGHEST) \
+                + t_all[j]
+        zis.append(iir.state_to_zi(s_in_sh, s_dim // 2))
+        if want_block_states:
+            s_in, _ = vb(tv, s_in_sh)                # TRUE per-block states
+            s_ins.append(s_in)
+        else:
+            s_ins.append(None)
+    return s_ins, zis
+
+
+def _tp_sharded(x, axis, n_valid):
+    """Sharded streaming true peak of a frames-sharded ``(n_loc, C)``
+    finalized signal (carried-tail pattern; see the comment block in
+    :func:`_chain_shard`)."""
+    from python_audio_mastering_tpu.ops.meters import true_peak_linear
+
+    d = jax.lax.axis_size(axis)
+    idx = jax.lax.axis_index(axis)
+    n_loc = x.shape[0]
+    gpos = idx * n_loc + jnp.arange(n_loc)
+    x_tp = jnp.where(gpos[:, None] < n_valid, x, 0.0)
+    tail = jax.lax.ppermute(x_tp[-32:], axis,
+                            [(i, i + 1) for i in range(d - 1)])
+    tail = jnp.where(idx == 0, jnp.zeros_like(tail), tail)
+    ext = jnp.concatenate([tail, x_tp])
+    tp_interior = true_peak_linear(ext, exclude_pad=(True, True))
+    tp_last = true_peak_linear(ext, exclude_pad=(True, False))
+    return jax.lax.pmax(jnp.where(idx == d - 1, tp_last, tp_interior), axis)
+
+
+def _chain_shard_rows(xrows, params, n_valid, config: ChainConfig,
+                      axis: str, sp_ballistics: str = "approx",
+                      want_meters: bool = False, mb_kernel: str = "auto"):
+    """ROWS-resident SP chain body: this shard's ``(C, nb_loc, L)`` slice.
+
+    The round-3 SP body ran the row-major ``(N, C)`` formulation whose
+    vmap-over-channels filters pay batched-dot layout copies the one-shot
+    chain eliminated (ops/iir.py channel-major section).  This body is the
+    one-shot rows chain (models/chain._master_cm) with every carried state
+    replaced by its cross-shard summary:
+
+    * EQ / K-weighting: shard-incoming ``zi`` from
+      :func:`_rows_shard_states` (boundary-summary all_gather — exact),
+      then the ordinary rows blocked filter;
+    * multiband: TRUE per-block crossover states feed the fused Pallas
+      kernels (``ops.pallas_multiband``; band signals never in HBM) or
+      their XLA mirrors (CPU mesh / vmapped album paths); the detector's
+      control-rate tail ``ppermute``s from the previous shard and window
+      counts clamp to GLOBAL positions (exact, pydub contract); the
+      ballistics warm-starts from the gathered coarse pre-scan and runs
+      the exact Pallas kernel per shard (fast-mode budget), or the exact
+      cross-shard handoff under ``sp_ballistics="exact"``;
+    * loudness cells gather and gate globally (exact); gain is a
+      replicated scalar; the reference soft limiter is elementwise.
+
+    Returns the same tuple contract as :func:`_chain_shard`, with the
+    audio in rows form ``(C, nb_loc, L)``.
+    """
+    from python_audio_mastering_tpu.ops import multiband as mb
+    from python_audio_mastering_tpu.ops import pallas_multiband as pmb
+
+    fs = config.sample_rate
+    c, nb, L = xrows.shape
+    dt = xrows.dtype
+    d = jax.lax.axis_size(axis)
+    idx = jax.lax.axis_index(axis)
+    hop = config.comp_hop
+
+    x = saturate(xrows, params.saturation)
+    eq = eq_sos(params, fs).astype(dt)
+    _, (zi_eq,) = _rows_shard_states((eq,), x, axis)
+    x, _ = iir.sosfilt_blocked_rows(eq, x, zi=zi_eq, return_state=False)
+    x = stereo_width(x, params.width, channel_axis=0)
+
+    if params.multiband:
+        lp_sos, hp_sos = mb._crossover_sos(fs, 250.0, 4000.0)
+        (s_lp, s_hp), _ = _rows_shard_states((lp_sos, hp_sos), x, axis,
+                                             want_block_states=True)
+        use_pallas = (mb_kernel != "xla" and pmb.available()
+                      and dt == jnp.float32 and (hop == 1 or L % hop == 0))
+        if use_pallas:
+            xb = pmb.band_energies(x, s_lp, s_hp, lp_sos, hp_sos, hop=hop)
+        else:
+            xb = pmb.band_energies_xla(x, s_lp, s_hp, lp_sos, hp_sos,
+                                       hop=hop)
+        t_loc = xb.shape[1]
+        look_ctrl = detector_lookpad(fs, hop) // hop
+        tail = jax.lax.ppermute(xb[:, -look_ctrl:], axis,
+                                [(i, i + 1) for i in range(d - 1)])
+        tail = jnp.where(idx == 0, jnp.zeros_like(tail), tail)
+        thr = (params.low_thresh, params.mid_thresh, params.high_thresh)
+        rat = (params.low_ratio, params.mid_ratio, params.high_ratio)
+        stats, _ = mb._fused_stats_from_ctrl(
+            xb, t_loc, fs, thr, rat, hop, tail, look_ctrl, dt,
+            global_ctrl_pos0=idx * t_loc)
+        if sp_ballistics == "exact":
+            att = _sharded_ballistics_exact(stats, axis)
+        else:
+            block_ctrl = config.comp_block_ctrl or 2048
+            overlap_ctrl = config.comp_overlap_ctrl or \
+                comp._default_overlap(fs, 200.0, hop)
+            att = _sharded_ballistics(stats, axis, block_ctrl, overlap_ctrl,
+                                      use_pallas=use_pallas)
+        gains = 10.0 ** (-att / 20.0)                 # (T_loc, 3)
+        cols = jnp.stack([gains[:, 1], gains[:, 0] - gains[:, 1],
+                          gains[:, 2] - gains[:, 1]])
+        apply_fn = pmb.band_gain_apply if use_pallas \
+            else pmb.band_gain_apply_xla
+        want_mono = ((params.lufs_enabled or want_meters) and c > 1
+                     and config.measure_downmix == "reference_mono_mean")
+        res = apply_fn(x, s_lp, s_hp, cols, lp_sos, hp_sos, hop=hop,
+                       emit_mono=want_mono)
+        x, meter_rows = res if want_mono else (res, None)
+    else:
+        meter_rows = None
+
+    # global gated loudness from shard-local rows cells (exact)
+    all_cells = None
+    gain = jnp.ones((), dt)
+    if params.lufs_enabled or want_meters:
+        if meter_rows is not None:
+            meter = meter_rows[None]
+        elif c > 1 and config.measure_downmix == "reference_mono_mean":
+            meter = x.mean(axis=0, keepdims=True)
+        else:
+            meter = x
+        kw = np.asarray(kweight_sos(fs), np.float64)
+        _, (zi_k,) = _rows_shard_states((kw,), meter, axis)
+        cells, _, _ = loud.block_cell_energies_rows(meter, fs, zi=zi_k)
+        all_cells = jax.lax.all_gather(cells, axis).reshape(
+            -1, cells.shape[-1])
+    if params.lufs_enabled:
+        cell = int(round(0.1 * fs))
+        mask = jnp.arange(all_cells.shape[0]) < (n_valid // cell)
+        measured = loud.loudness_from_cells(all_cells, cell_mask=mask)
+        gain = 10.0 ** ((jnp.asarray(params.lufs, dt) - measured) / 20.0)
+        gain = jnp.where(jnp.isfinite(measured), gain, 1.0)
+        x = x * gain
+        gain_db = 20.0 * jnp.log10(gain)
+    else:
+        measured = jnp.asarray(jnp.nan, dt)
+        gain_db = jnp.zeros((), dt)
+
+    x = soft_limiter(x, threshold=config.limiter_threshold)
+    if not want_meters:
+        return x, measured, gain_db
+    x_nc = x.reshape(c, nb * L).T       # local relayout, meters mode only
+    tp = _tp_sharded(x_nc, axis, n_valid)
+    return x, measured, gain_db, all_cells * (gain ** 2), tp
 
 
 def _chain_shard(x, params, n_valid, config: ChainConfig, axis: str,
@@ -351,30 +592,54 @@ def _chain_shard(x, params, n_valid, config: ChainConfig, axis: str,
 
 
 @functools.lru_cache(maxsize=64)
-def _track_sharded_fn(mesh, axis, config, sp_ballistics, want_meters):
+def _track_sharded_fn(mesh, axis, config, sp_ballistics, want_meters,
+                      rows=False):
     """Cached jitted shard_map chain: one compile per (mesh, config, flags).
 
     Building a fresh ``jax.jit(shard_map(partial(...)))`` per call defeats
     jit's C++ cache (the partial's identity differs every time), which on
     the real TPU backend meant a full recompile on EVERY
     ``master_track_sharded`` call (~35 s each, measured).
+
+    ``rows``: the rows-resident body (``_chain_shard_rows``) — input and
+    output are ``(C, NB, L)`` sharded on the blocks axis.
     """
-    out_specs = (P(axis, None), P(), P())
+    in_spec = P(None, axis, None) if rows else P(axis, None)
+    out_specs = (in_spec, P(), P())
     if want_meters:
         out_specs = out_specs + (P(), P())
+    body = _chain_shard_rows if rows else _chain_shard
     return jax.jit(
         jax.shard_map(
-            functools.partial(_chain_shard, config=config, axis=axis,
+            functools.partial(body, config=config, axis=axis,
                               sp_ballistics=sp_ballistics,
                               want_meters=want_meters),
-            mesh=mesh, in_specs=(P(axis, None), P(), P()),
+            mesh=mesh, in_specs=(in_spec, P(), P()),
             out_specs=out_specs, check_vma=False),
     )
 
 
 @functools.lru_cache(maxsize=64)
-def _album_sharded_fn(mesh, taxis, saxis, config, sp_ballistics):
-    """Cached jitted 2-D (tracks x frames) shard_map chain (see above)."""
+def _album_sharded_fn(mesh, taxis, saxis, config, sp_ballistics,
+                      rows=False):
+    """Cached jitted 2-D (tracks x frames) shard_map chain (see above).
+
+    The rows body under ``vmap`` pins the XLA kernel mirrors
+    (``mb_kernel="xla"``): the Pallas kernels have no batching rule."""
+
+    if rows:
+        def block(xb, pb, nv):
+            run = functools.partial(_chain_shard_rows, config=config,
+                                    axis=saxis,
+                                    sp_ballistics=sp_ballistics,
+                                    mb_kernel="xla")
+            return jax.vmap(run)(xb, pb, nv)
+
+        return jax.jit(jax.shard_map(
+            block, mesh=mesh,
+            in_specs=(P(taxis, None, saxis, None), P(taxis), P(taxis)),
+            out_specs=(P(taxis, None, saxis, None), P(taxis), P(taxis)),
+            check_vma=False))
 
     def block(xb, pb, nv):
         run = functools.partial(_chain_shard, config=config, axis=saxis,
@@ -418,18 +683,33 @@ def master_track_sharded(audio, params: MasteringParams, config: ChainConfig,
         audio = audio[:, None]
     n, c = audio.shape
     cell = int(round(0.1 * config.sample_rate))
-    align = int(np.lcm(cell, max(config.comp_hop, 1))) * d
+    L = config.block_size
+    # Rows-resident SP body (round 4): worker variant + blocked filters +
+    # reference limiter run the one-shot rows chain per shard with
+    # cross-shard state summaries — the row-major body below paid
+    # vmap-over-channels layout copies per filter pass.
+    rows = (config.channel_major(4 * L) and config.variant == "worker"
+            and config.limiter_mode == "reference")
+    align = int(np.lcm(np.lcm(cell, max(config.comp_hop, 1)),
+                       L if rows else 1)) * d
     n_pad = -(-n // align) * align
     x = np.concatenate([np.asarray(audio),
                         np.zeros((n_pad - n, c), np.asarray(audio).dtype)])
 
-    fn = _track_sharded_fn(mesh, axis, config, sp_ballistics, return_meters)
-    x_dev = jax.device_put(
-        jnp.asarray(x, config.jnp_dtype()),
-        NamedSharding(mesh, P(axis, None)))
+    fn = _track_sharded_fn(mesh, axis, config, sp_ballistics, return_meters,
+                           rows=rows)
+    if rows:
+        xw = np.ascontiguousarray(x.T).reshape(c, n_pad // L, L)
+        x_dev = jax.device_put(jnp.asarray(xw, config.jnp_dtype()),
+                               NamedSharding(mesh, P(None, axis, None)))
+    else:
+        x_dev = jax.device_put(
+            jnp.asarray(x, config.jnp_dtype()),
+            NamedSharding(mesh, P(axis, None)))
     res = fn(x_dev, params, jnp.asarray(n))
     y, measured, gain_db = res[:3]
-    out = np.asarray(y)[:n]
+    out = np.asarray(y)
+    out = (out.reshape(c, -1).T if rows else out)[:n]
     if squeeze:
         out = out[:, 0]
     if not return_meters:
@@ -494,7 +774,11 @@ def master_album_sharded(tracks, params, config: ChainConfig, mesh=None,
             stacked)
     # frame-axis alignment (same rule as master_track_sharded)
     cell = int(round(0.1 * config.sample_rate))
-    align = int(np.lcm(cell, max(config.comp_hop, 1))) * ds_mesh
+    L = config.block_size
+    rows = (config.channel_major(4 * L) and config.variant == "worker"
+            and config.limiter_mode == "reference")
+    align = int(np.lcm(np.lcm(cell, max(config.comp_hop, 1)),
+                       L if rows else 1)) * ds_mesh
     n_pad = -(-n // align) * align
     if n_pad != n:
         batch = np.concatenate(
@@ -506,10 +790,20 @@ def master_album_sharded(tracks, params, config: ChainConfig, mesh=None,
          jnp.zeros((batch.shape[0] - t0,), lengths_dev.dtype)]) \
         if batch.shape[0] != t0 else lengths_dev
 
-    fn = _album_sharded_fn(mesh, taxis, saxis, config, sp_ballistics)
-    x_dev = jax.device_put(jnp.asarray(batch, config.jnp_dtype()),
-                           NamedSharding(mesh, P(taxis, saxis, None)))
-    y, measured, _ = fn(x_dev, stacked, n_valid)
-    out = np.asarray(y)
+    fn = _album_sharded_fn(mesh, taxis, saxis, config, sp_ballistics,
+                           rows=rows)
+    if rows:
+        w = np.ascontiguousarray(batch.transpose(0, 2, 1)).reshape(
+            batch.shape[0], c, n_pad // L, L)
+        x_dev = jax.device_put(jnp.asarray(w, config.jnp_dtype()),
+                               NamedSharding(mesh,
+                                             P(taxis, None, saxis, None)))
+        y, measured, _ = fn(x_dev, stacked, n_valid)
+        out = np.asarray(y).reshape(batch.shape[0], c, -1).transpose(0, 2, 1)
+    else:
+        x_dev = jax.device_put(jnp.asarray(batch, config.jnp_dtype()),
+                               NamedSharding(mesh, P(taxis, saxis, None)))
+        y, measured, _ = fn(x_dev, stacked, n_valid)
+        out = np.asarray(y)
     return ([out[i, : int(lengths[i])] for i in range(len(tracks))],
             np.asarray(measured)[: len(tracks)])
