@@ -281,43 +281,107 @@ def _final_state_static(s_in_last, x_last, static_sos, rem, dtype):
                       precision=_HIGHEST) + drive
 
 
-@functools.lru_cache(maxsize=64)
-def _boundary_operators_static(sos_bytes, k, block_size, group):
-    """Static operators for the two-level boundary-state recurrence.
+@functools.lru_cache(maxsize=256)
+def _boundary_operators_from_a(a_bytes, s_dim, group):
+    """Superblock operators for a constant affine recurrence matrix ``A``.
 
-    The block-boundary recurrence ``s[b+1] = AL s[b] + t[b]`` has a
-    CONSTANT matrix, so it needs no matrix associative scan over data (the
-    log-depth scan over ``(nb, S, S)`` products was the dominant cost of a
-    blocked filter pass — 14 passes of tiny layout-hostile matmuls).
-    Instead, group blocks into superblocks of ``M = group``:
+    For ``s[i+1] = A s[i] + t[i]``, grouping steps into superblocks of
+    ``M = group``:
 
-      * ``tbig_t`` ((M·S, M·S), block-lower-triangular of AL powers):
-        ``cum[m] = Σ_{j≤m} AL^{m-j} t[j]`` for a whole superblock as ONE
+      * ``tbig_t`` ((M·S, M·S), block-lower-triangular of A powers):
+        ``cum[m] = Σ_{j≤m} A^{m-j} t[j]`` for a whole superblock as ONE
         MXU matmul;
-      * ``al_m`` (S, S): ``AL^M`` — advances one superblock (tiny host-length
-        scan over ``nb/M`` superblocks);
-      * ``powers_m`` ((M, S, S)): ``AL^m`` — scatters each superblock's
-        incoming state to its blocks.
+      * ``powers_m`` ((M, S, S)): ``A^m`` — scatters each superblock's
+        incoming state to its steps;
+      * ``a_m`` (S, S): ``A^M`` — the next recursion level's transition.
 
     All built in float64 on the host (near-unit-circle poles survive) and
-    cast at use.
+    cast at use.  The recurrence applies RECURSIVELY (the superblock
+    totals follow the same affine form with matrix ``A^M``), so
+    :func:`_affine_prefix_static` needs NO sequential scan at any level —
+    the round-3 code ran a ``lax.scan`` over the ~122 superblocks, four of
+    which (EQ/crossovers/K) accounted for a large share of the compiled
+    chain's serialized op count.
     """
     import numpy as onp
 
-    _, _, _, al = _blocked_operators_static(sos_bytes, k, block_size)
-    s_dim = al.shape[0]
+    a = onp.frombuffer(a_bytes, dtype=onp.float64).reshape(s_dim, s_dim)
     m_grp = group
     powers = onp.empty((m_grp + 1, s_dim, s_dim))
     powers[0] = onp.eye(s_dim)
     for t in range(1, m_grp + 1):
-        powers[t] = al @ powers[t - 1]
+        powers[t] = a @ powers[t - 1]
     tbig_t = onp.zeros((m_grp * s_dim, m_grp * s_dim))
     for j in range(m_grp):
         for m in range(j, m_grp):
-            # cum_flat = t_flat @ tbig_t ⇒ tbig_t[j·S+sj, m·S+sm] = AL^{m-j}[sm, sj]
+            # cum_flat = t_flat @ tbig_t ⇒ tbig_t[j·S+sj, m·S+sm] = A^{m-j}[sm, sj]
             tbig_t[j * s_dim:(j + 1) * s_dim, m * s_dim:(m + 1) * s_dim] = \
                 powers[m - j].T
     return powers[:m_grp], tbig_t, powers[m_grp]
+
+
+def _affine_prefix_static(t_vec, s0, a_np, dtype, m_grp=128):
+    """Prefix states of ``s[i+1] = a s[i] + t[i]`` (``s_in[0] = s0``) for a
+    constant float64 numpy ``a`` — scan-free at every level (see
+    :func:`_boundary_operators_from_a`).  Returns ``s_in (n, S)``."""
+    n, s_dim = t_vec.shape
+    m = min(n, m_grp)
+    ops = _boundary_operators_from_a(a_np.tobytes(), s_dim, m)
+    powers_m, tbig_t, a_m_np64 = ops
+    powers_m = jnp.asarray(powers_m, dtype)
+    tbig_t = jnp.asarray(tbig_t, dtype)
+    ng = -(-n // m)
+    t_pad = jnp.pad(t_vec, ((0, ng * m - n), (0, 0)))
+    cum = jnp.dot(t_pad.reshape(ng, m * s_dim), tbig_t,
+                  precision=_HIGHEST).reshape(ng, m, s_dim)
+    if ng == 1:
+        sg_in = s0[None]
+    else:
+        import numpy as onp
+
+        sg_in = _affine_prefix_static(cum[:, m - 1, :], s0,
+                                      onp.ascontiguousarray(a_m_np64),
+                                      dtype, m_grp=m_grp)
+    s_in = (jnp.einsum("mij,gj->gmi", powers_m, sg_in, precision=_HIGHEST)
+            + jnp.concatenate([jnp.zeros_like(cum[:, :1]), cum[:, :-1]],
+                              axis=1)).reshape(ng * m, s_dim)
+    return s_in[:n]
+
+
+def _affine_prefix_traced(t_vec, s0, a, m_grp=128):
+    """Traced-matrix twin of :func:`_affine_prefix_static`: operators built
+    in-graph (powers by log-depth associative scan over M ≤ 128 mats, the
+    block-Toeplitz by the stride-(2M−1) tile trick), recursion on the
+    superblock totals with ``A^M`` — no sequential scan at any level."""
+    n, s_dim = t_vec.shape
+    m = min(n, m_grp)
+    eye = jnp.eye(s_dim, dtype=a.dtype)
+    reps = jnp.broadcast_to(a, (m, s_dim, s_dim))
+    pow_tail = jax.lax.associative_scan(
+        lambda u, v: jnp.einsum("...ij,...jk->...ik", v, u,
+                                precision=_HIGHEST), reps)
+    powers = jnp.concatenate([eye[None], pow_tail])  # (M+1, S, S)
+    powers_m, a_m = powers[:m], powers[m]
+
+    pc = jnp.concatenate([powers[:m],
+                          jnp.zeros((m,) + powers.shape[1:], a.dtype)])
+    blocks = jnp.tile(pc, (m, 1, 1))[: m * (2 * m - 1)]
+    blocks = blocks.reshape(m, 2 * m - 1, s_dim, s_dim)[:, :m]
+    tbig_t = blocks.transpose(0, 3, 1, 2).reshape(m * s_dim, m * s_dim)
+
+    ng = -(-n // m)
+    t_pad = jnp.pad(t_vec, ((0, ng * m - n), (0, 0)))
+    cum = jnp.dot(t_pad.reshape(ng, m * s_dim), tbig_t,
+                  precision=_HIGHEST).reshape(ng, m, s_dim)
+    if ng == 1:
+        sg_in = s0[None]
+    else:
+        sg_in = _affine_prefix_traced(cum[:, m - 1, :], s0, a_m,
+                                      m_grp=m_grp)
+    s_in = (jnp.einsum("mij,gj->gmi", powers_m, sg_in, precision=_HIGHEST)
+            + jnp.concatenate([jnp.zeros_like(cum[:, :1]), cum[:, :-1]],
+                              axis=1)).reshape(ng * m, s_dim)
+    return s_in[:n]
 
 
 def _blocked_operators(sos, block_size):
@@ -361,32 +425,22 @@ def _blocked_operators(sos, block_size):
 
 
 def _boundary_states_static(t_vec, s0, static_sos, L, nb, al, dtype):
-    """Two-level boundary-state recurrence for static coefficients.
+    """Scan-free boundary-state recurrence for static coefficients.
 
     AL is constant, so within superblocks of M blocks the cumulative state
-    contributions are one MXU matmul with a precomputed operator; only
-    nb/M superblock handoffs remain sequential.  Replaces the log-depth
-    matrix associative scan (the dominant cost of a blocked filter pass at
-    these shapes).  Returns ``(s_in (nb, S), s_last (S,))``.
+    contributions are one MXU matmul with a precomputed operator — and the
+    superblock handoffs follow the SAME affine recurrence with ``AL^M``,
+    so they recurse through the same machinery instead of a ``lax.scan``
+    (:func:`_affine_prefix_static`; the ~122-iteration handoff scans were
+    a large share of the compiled chain's serialized op count, measured
+    round 4).  Returns ``(s_in (nb, S), s_last (S,))``.
     """
-    s_dim = al.shape[0]
-    m_grp = 128 if nb >= 128 else max(1, nb)
-    b_ops = _boundary_operators_static(
-        static_sos.astype("float64").tobytes(), static_sos.shape[0], L,
-        m_grp)
-    powers_m, tbig_t, al_m = [jnp.asarray(o, dtype) for o in b_ops]
-    nbg = -(-nb // m_grp)
-    t_pad = jnp.pad(t_vec, ((0, nbg * m_grp - nb), (0, 0)))
-    cum = jnp.dot(t_pad.reshape(nbg, m_grp * s_dim), tbig_t,
-                  precision=_HIGHEST).reshape(nbg, m_grp, s_dim)
+    import numpy as onp
 
-    def gstep(s, cum_last):
-        return jnp.einsum("ij,j->i", al_m, s, precision=_HIGHEST) \
-            + cum_last, s
-    _, sg_in = jax.lax.scan(gstep, s0, cum[:, m_grp - 1, :])
-    s_in = (jnp.einsum("mij,gj->gmi", powers_m, sg_in, precision=_HIGHEST)
-            + jnp.concatenate([jnp.zeros_like(cum[:, :1]), cum[:, :-1]],
-                              axis=1)).reshape(nbg * m_grp, s_dim)[:nb]
+    _, _, _, al_np = _blocked_operators_static(
+        static_sos.astype("float64").tobytes(), static_sos.shape[0], L)
+    s_in = _affine_prefix_static(t_vec, s0, onp.ascontiguousarray(al_np),
+                                 dtype)
     s_last = jnp.einsum("ij,j->i", al, s_in[-1], precision=_HIGHEST) \
         + t_vec[-1]
     return s_in, s_last
@@ -395,51 +449,14 @@ def _boundary_states_static(t_vec, s0, static_sos, L, nb, al, dtype):
 def _boundary_states_traced(t_vec, s0, al):
     """Boundary-state recurrence for traced coefficients.
 
-    Same two-level superblock scheme as :func:`_boundary_states_static`
-    (cumulative within-superblock contributions as ONE MXU matmul against a
-    block-Toeplitz of AL powers, plus a short superblock-handoff scan) —
-    but with the operators built *in-graph* from the traced ``al``.  The
-    AL powers come from a length-M associative scan (M = 128, vs nb ≈ 15k
-    for a 3-min track — the old full-length log-depth matrix scan cost
-    ~1.9 ms of 8×8-matmul relayout traffic per EQ pass on the bench chip),
-    and the block-Toeplitz is assembled with the stride-(2M−1) tile trick
-    (no gather).  Returns ``(s_in (nb, S), s_last (S,))``.
+    Same scan-free recursive superblock scheme as
+    :func:`_boundary_states_static` (see :func:`_affine_prefix_traced`)
+    with the operators built *in-graph* from the traced ``al``: AL powers
+    by a length-M associative scan (M ≤ 128, vs nb ≈ 15k for a 3-min
+    track), the block-Toeplitz by the stride-(2M−1) tile trick (no
+    gather).  Returns ``(s_in (nb, S), s_last (S,))``.
     """
-    nb, s_dim = t_vec.shape
-    m_grp = 128 if nb >= 128 else max(1, nb)
-
-    # powers[m] = AL^m, m = 0..M (in-graph, log-depth over M mats)
-    eye = jnp.eye(s_dim, dtype=al.dtype)
-    reps = jnp.broadcast_to(al, (m_grp, s_dim, s_dim))
-    pow_tail = jax.lax.associative_scan(
-        lambda u, v: jnp.einsum("...ij,...jk->...ik", v, u,
-                                precision=_HIGHEST), reps)
-    powers = jnp.concatenate([eye[None], pow_tail])  # (M+1, S, S)
-    powers_m, al_m = powers[:m_grp], powers[m_grp]
-
-    # tbig_t[j·S+sj, m·S+sm] = AL^{m−j}[sm, sj] for m ≥ j — block-Toeplitz
-    # via the tile trick: rows of the (M, 2M−1) strided view are rolls of
-    # [powers | 0], so slot (j, m) holds powers[(m−j) mod 2M], which is 0
-    # for m < j.
-    pc = jnp.concatenate([powers[:m_grp],
-                          jnp.zeros((m_grp,) + powers.shape[1:], al.dtype)])
-    blocks = jnp.tile(pc, (m_grp, 1, 1))[: m_grp * (2 * m_grp - 1)]
-    blocks = blocks.reshape(m_grp, 2 * m_grp - 1, s_dim, s_dim)[:, :m_grp]
-    tbig_t = blocks.transpose(0, 3, 1, 2).reshape(m_grp * s_dim,
-                                                  m_grp * s_dim)
-
-    nbg = -(-nb // m_grp)
-    t_pad = jnp.pad(t_vec, ((0, nbg * m_grp - nb), (0, 0)))
-    cum = jnp.dot(t_pad.reshape(nbg, m_grp * s_dim), tbig_t,
-                  precision=_HIGHEST).reshape(nbg, m_grp, s_dim)
-
-    def gstep(s, cum_last):
-        return jnp.einsum("ij,j->i", al_m, s, precision=_HIGHEST) \
-            + cum_last, s
-    _, sg_in = jax.lax.scan(gstep, s0, cum[:, m_grp - 1, :])
-    s_in = (jnp.einsum("mij,gj->gmi", powers_m, sg_in, precision=_HIGHEST)
-            + jnp.concatenate([jnp.zeros_like(cum[:, :1]), cum[:, :-1]],
-                              axis=1)).reshape(nbg * m_grp, s_dim)[:nb]
+    s_in = _affine_prefix_traced(t_vec, s0, al)
     s_last = jnp.einsum("ij,j->i", al, s_in[-1], precision=_HIGHEST) \
         + t_vec[-1]
     return s_in, s_last
