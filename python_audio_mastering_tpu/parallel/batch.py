@@ -504,12 +504,13 @@ def master_album_streamed(tracks: Sequence[np.ndarray], params,
         out = np.concatenate([np.asarray(y) for y in finalized], axis=cat_ax)
     if fin_rows:
         out = out.reshape(out.shape[0], nch, -1)  # host-side unfold (free)
-    out = (out.transpose(0, 2, 1) if cm else out)[:, :n]
     if timings is not None:
         timings["d2h_s"] = _time.perf_counter() - t_start
         timings["wire_bytes_out"] = out.nbytes
     if pcm16:
-        out = out.astype(np.float32) / strm.PCM16_SCALE
+        # dequantize while the buffer is still contiguous (threaded path)
+        out = strm.dequantize_pcm16_host(out)
+    out = (out.transpose(0, 2, 1) if cm else out)[:, :n]
     outs = [out[i, : int(lengths[i])] for i in range(len(tracks))]
     measured_np = np.asarray(measured)[: len(tracks)]
     if not return_meters:

@@ -101,9 +101,60 @@ def default_chunk_frames(config: ChainConfig, seconds: float = 30.0) -> int:
 PCM16_SCALE = 32767.0  # symmetric round-trip scale for pcm16 transfers
 
 
+def _host_parallel_rows(n_rows, work, min_rows=1 << 16):
+    """Run ``work(lo, hi)`` over row ranges on a thread pool (numpy ufuncs
+    release the GIL, so big host-side PCM conversions scale with cores —
+    the single-threaded quantize/dequant legs measured ~21 s of a 12×5-min
+    album job's wall)."""
+    workers = min(os.cpu_count() or 1, 16)
+    if n_rows < 2 * min_rows or workers < 2:
+        work(0, n_rows)
+        return
+    from concurrent.futures import ThreadPoolExecutor
+
+    step = -(-n_rows // workers)
+    bounds = [(lo, min(lo + step, n_rows))
+              for lo in range(0, n_rows, step)]
+    with ThreadPoolExecutor(max_workers=workers) as ex:
+        list(ex.map(lambda b: work(*b), bounds))
+
+
 def quantize_pcm16(x: np.ndarray) -> np.ndarray:
     """Host-side float → int16 for the device link (symmetric scale)."""
-    return np.round(np.clip(x, -1.0, 1.0) * PCM16_SCALE).astype(np.int16)
+    x = np.asarray(x)
+    if not x.flags.c_contiguous or x.size < (1 << 20):
+        return np.round(np.clip(x, -1.0, 1.0) * PCM16_SCALE).astype(np.int16)
+    out = np.empty(x.shape, np.int16)
+    xv = x.reshape(x.shape[0], -1)
+    ov = out.reshape(x.shape[0], -1)
+
+    def work(lo, hi):
+        t = np.clip(xv[lo:hi], -1.0, 1.0)
+        np.multiply(t, PCM16_SCALE, out=t)
+        np.round(t, out=t)
+        ov[lo:hi] = t  # exact: t holds exact integers within int16 range
+
+    _host_parallel_rows(xv.shape[0], work, min_rows=max(1, (1 << 22)
+                                                        // max(xv.shape[1], 1)))
+    return out
+
+
+def dequantize_pcm16_host(y: np.ndarray) -> np.ndarray:
+    """Host-side int16 → float32 for the readback leg (threaded)."""
+    y = np.asarray(y)
+    out = np.empty(y.shape, np.float32)
+    yv = y.reshape(y.shape[0], -1) if y.flags.c_contiguous else None
+    if yv is None or y.size < (1 << 20):
+        np.divide(y, PCM16_SCALE, out=out, dtype=np.float32)
+        return out
+    ov = out.reshape(y.shape[0], -1)
+
+    def work(lo, hi):
+        np.divide(yv[lo:hi], PCM16_SCALE, out=ov[lo:hi], dtype=np.float32)
+
+    _host_parallel_rows(yv.shape[0], work, min_rows=max(1, (1 << 22)
+                                                        // max(yv.shape[1], 1)))
+    return out
 
 
 def requantize_pcm16(y):
@@ -742,7 +793,7 @@ def master_streamed(audio, params: MasteringParams, config: ChainConfig,
         out = out.reshape(c, -1)  # host-side unfold (free: row-major)
     out = np.ascontiguousarray(out[:, :n].T) if cm else out[:n]
     if pcm16:
-        out = out.astype(np.float32) / PCM16_SCALE
+        out = dequantize_pcm16_host(out)
     if squeeze:
         out = out[:, 0]
     gain_db = 20.0 * float(np.log10(float(gain)))
