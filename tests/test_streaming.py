@@ -349,3 +349,26 @@ def test_bounded_album_spill_matches_resident():
     for o, r in zip(outs, ref_outs):
         np.testing.assert_allclose(o, r, rtol=0, atol=0)
     np.testing.assert_allclose(lufs, ref_lufs, rtol=0, atol=0)
+
+
+def test_bounded_spill_lookahead_quality_mode():
+    """Spilled pcm16 pass-A chunks through the QUALITY (lookahead) pass-B:
+    the limiter's finalize must dequantize spilled int16 chunks and match
+    the unspilled quality run within the pcm16 budget."""
+    import dataclasses
+
+    x = make_signal(int(FS_ROWS * 2.5), fs=FS_ROWS) * 0.6
+    params = MasteringParams.from_settings(
+        {"saturation": 10, "preset": "pop", "lufs": -12.0})
+    cfg = _rows_cfg(dtype="float32", limiter_mode="lookahead_truepeak")
+    ref, _, _ = streaming.master_streamed(x, params, cfg, chunk_seconds=0.4,
+                                          transfer="pcm16")
+    chunk_frames = streaming.default_chunk_frames(cfg, 0.4)
+    tight = dataclasses.replace(
+        cfg, device_budget_bytes=4 * chunk_frames * x.shape[1] * 4)
+    stats = {}
+    out, _, _ = streaming.master_streamed(x, params, tight,
+                                          chunk_seconds=0.4,
+                                          transfer="pcm16", stats=stats)
+    assert stats["spilled_chunks"] > 0
+    assert np.max(np.abs(out - ref)) < 3e-3
