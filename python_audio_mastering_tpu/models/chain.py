@@ -123,6 +123,44 @@ def _apply_eq_legacy(x, params, config):
     return x
 
 
+def _front(xr, params: MasteringParams, config: ChainConfig, state=None,
+           return_state: bool = False):
+    """Chain front over rows form: saturate → EQ → widener.
+
+    On TPU (``config.mb_kernel`` gate, same as the multiband kernels) the
+    three stages fuse into ONE Pallas pass (``ops.pallas_multiband.
+    front_chain``): the EQ's per-block incoming states come from a tiny
+    states-only pass whose ``rows @ G`` read absorbs the waveshaper, and
+    the kernel reads the raw signal once and writes the widened EQ output
+    once — replacing ~5 XLA full-signal passes.  Elsewhere the plain ops
+    run (XLA fuses the elementwise stages anyway).  ``state``/
+    ``return_state``: carried EQ ``zi`` for the streaming chunk body.
+    Returns ``y`` or ``(y, eq_zf)``.
+    """
+    from python_audio_mastering_tpu.ops import pallas_multiband as pmb
+
+    km = config.mb_kernel
+    interpret = km == "pallas_interpret"
+    c = xr.shape[0]
+    use_kernel = (km != "xla" and c <= 2
+                  and (interpret or km == "pallas"
+                       or (km == "auto" and pmb.available()
+                           and xr.dtype == jnp.float32)))
+    eq = eq_sos(params, config.sample_rate).astype(xr.dtype)
+    if use_kernel:
+        xs = saturate(xr, params.saturation)  # fuses into the states G-dot
+        s_in, eq_zf, (t_eq, _, w_eq, _) = iir.sosfilt_states_rows(
+            eq, xs, zi=state, return_state=return_state)
+        y = pmb.front_chain(xr, s_in, t_eq, w_eq, params.saturation,
+                            params.width, interpret=interpret)
+    else:
+        xs = saturate(xr, params.saturation)
+        y, eq_zf = iir.sosfilt_blocked_rows(eq, xs, zi=state,
+                                            return_state=return_state)
+        y = stereo_width(y, params.width, channel_axis=0)
+    return (y, eq_zf) if return_state else y
+
+
 def _master_cm(x, params: MasteringParams, config: ChainConfig,
                return_result: bool, valid_frames):
     """Rows-resident worker-variant chain body (the TPU hot path).
@@ -158,10 +196,7 @@ def _master_cm(x, params: MasteringParams, config: ChainConfig,
     vf = n if valid_frames is None else jnp.minimum(valid_frames, n)
     xr = jnp.pad(x.T, ((0, 0), (0, nb * L - n))).reshape(c, nb, L)
 
-    xr = saturate(xr, params.saturation)
-    eq = eq_sos(params, config.sample_rate).astype(xr.dtype)
-    xr, _ = iir.sosfilt_blocked_rows(eq, xr, return_state=False)
-    xr = stereo_width(xr, params.width, channel_axis=0)
+    xr = _front(xr, params, config)
     # The loudness meter's mono downmix folds into the multiband's
     # gain-apply epilogue (emit_mono) so the meter pass never re-reads the
     # full (C, nb, L) output — one fewer full-signal pass (VERDICT r3 #6).

@@ -42,6 +42,7 @@ __all__ = [
     "sosfilt_blocked_rows",
     "sosfilt_blocked_multi_rows",
     "sosfilt_states_multi_rows",
+    "sosfilt_states_rows",
     "sosfilt",
     "cascade_state_space",
     "zi_to_state",
@@ -776,6 +777,37 @@ def _blocked_rows_run(ops, statics, xrows, s0s, L, return_state,
                     precision=_HIGHEST)
         yrows.append(y.reshape(c, nb, L))
     return yrows, s_finals
+
+
+def sosfilt_states_rows(sos, xrows, zi=None, n_valid=None,
+                        return_state=True):
+    """Single-cascade per-block incoming states over ROWS form (traced
+    coefficients supported — the EQ case).
+
+    Returns ``(s_in (C, nb, S), zf scipy-layout, ops)`` where ``ops`` is
+    the ``(t_mat, g, w, al)`` operator tuple (jnp arrays) so a downstream
+    kernel can reuse the same operators without rebuilding them.
+    """
+    c, nb, L = xrows.shape
+    static_sos = None
+    if isinstance(sos, np.ndarray):
+        static_sos = np.asarray(sos, np.float64)
+    elif isinstance(sos, jax.Array) and not isinstance(sos, jax.core.Tracer):
+        static_sos = np.asarray(sos, np.float64)
+    if static_sos is not None:
+        o = _blocked_operators_static(static_sos.tobytes(),
+                                      static_sos.shape[0], L)
+        ops = tuple(jnp.asarray(m, xrows.dtype) for m in o)
+        k = static_sos.shape[0]
+    else:
+        sos = _as_sos(sos, xrows.dtype)
+        ops = _blocked_operators(sos, L)
+        k = sos.shape[0]
+    s0s = _cm_states([k], None if zi is None else [zi], c, xrows.dtype)
+    s_ins, s_ts = _blocked_rows_states([ops], [static_sos], xrows, s0s, L,
+                                       return_state, sos_list=[sos],
+                                       n_valid=n_valid)
+    return s_ins[0], state_to_zi(s_ts[0], k), ops
 
 
 def sosfilt_states_multi_rows(sos_list, xrows, zi_list=None, n_valid=None,

@@ -55,7 +55,8 @@ from jax.experimental import pallas as pl
 
 from python_audio_mastering_tpu.ops.pallas_kernels import available
 
-__all__ = ["band_energies", "band_gain_apply", "available"]
+__all__ = ["band_energies", "band_gain_apply", "front_chain",
+           "front_chain_xla", "available"]
 
 _SUP = 128  # blocks per superblock (grid step); M·L = 64k samples/step
 
@@ -149,6 +150,89 @@ def _gain_apply_kernel(x_ref, t_ref, wt_ref, slp_ref, shp_ref, cols_ref,
         # meter pass reads this (N,) mono signal instead of re-reading the
         # full (N, C) output (VERDICT r3 #6 — one fewer full-signal pass)
         mono_ref[:, :] = (y[0] if c == 1 else jnp.sum(y, axis=0)) * (1.0 / c)
+
+
+def _front_kernel(coef_ref, x_ref, t_ref, wt_ref, se_ref, out_ref):
+    """saturate → EQ (from per-block states) → stereo width, fused.
+
+    The chain front paid ~5 XLA full-signal passes (saturate write/read,
+    EQ T-dot read/write, width write); this kernel reads the raw signal
+    once and writes the widened EQ output once, recomputing the EQ from
+    the tiny boundary states exactly like the multiband kernels do.
+    Reference formulas: saturation engine:128-134, widener engine:136-144.
+    """
+    mix = coef_ref[0, 0]
+    drive = coef_ref[0, 1]
+    width = coef_ref[0, 2]
+    c, m, L = x_ref.shape
+    xall = x_ref[:, :, :].reshape(c * m, L)
+    xs = (1.0 - mix) * xall + mix * jnp.tanh(xall * drive)
+    s_in = se_ref[:, :, :].reshape(c * m, se_ref.shape[2])
+    y = _DOT(xs, t_ref[:, :], preferred_element_type=xall.dtype) + \
+        _DOT(s_in, wt_ref[:, :], preferred_element_type=xall.dtype)
+    y3 = y.reshape(c, m, L)
+    if c == 2:
+        mid = (y3[0] + y3[1]) * 0.5
+        side = (y3[0] - y3[1]) * (0.5 * width)
+        out_ref[0] = mid + side
+        out_ref[1] = mid - side
+    else:
+        out_ref[:, :, :] = y3
+
+
+def front_chain(xrows, s_in_eq, t_eq, w_eq, saturation_percent, width,
+                interpret: bool = False):
+    """Fused chain front over rows form: one signal read + one write.
+
+    Args:
+      xrows: ``(C, nb, L)`` RAW rows signal (pre-saturation).
+      s_in_eq: ``(C, nb, S)`` per-block EQ incoming states computed from
+        the SATURATED signal (``iir.sosfilt_states_rows`` on
+        ``saturate(x)`` — the G-dot fuses the waveshaper into its operand
+        read, so the states pass still reads the signal once).
+      t_eq / w_eq: the EQ's ``T (L, L)`` and ``W (L, S)`` operators
+        (traced in-graph arrays are fine — they enter as kernel operands).
+      saturation_percent / width: traced scalars (the slider values).
+    """
+    c, nb, L = xrows.shape
+    if c > 2:
+        raise ValueError("front kernel supports mono/stereo only")
+    s = s_in_eq.shape[2]
+    m = min(_SUP, nb)
+    nbs = -(-nb // m)
+    dt = xrows.dtype
+    mix = (jnp.asarray(saturation_percent, dt) / 100.0) ** 2
+    coefs = jnp.stack([mix, 1.0 + mix * 4.0,
+                       jnp.asarray(width, dt), jnp.zeros((), dt)])[None, :]
+    wt = w_eq.T.astype(dt)
+    out = pl.pallas_call(
+        _front_kernel,
+        grid=(nbs,),
+        in_specs=[
+            pl.BlockSpec((1, 4), lambda i: (0, 0)),
+            pl.BlockSpec((c, m, L), lambda i: (0, i, 0)),
+            pl.BlockSpec((L, L), lambda i: (0, 0)),
+            pl.BlockSpec((s, L), lambda i: (0, 0)),
+            pl.BlockSpec((c, m, s), lambda i: (0, i, 0)),
+        ],
+        out_specs=pl.BlockSpec((c, m, L), lambda i: (0, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((c, nbs * m, L), dt),
+        interpret=interpret,
+    )(coefs, xrows, t_eq.astype(dt), wt, s_in_eq)
+    return out[:, :nb]
+
+
+def front_chain_xla(xrows, s_in_eq, t_eq, w_eq, saturation_percent, width):
+    """XLA mirror of :func:`front_chain` (same algebra, for CPU/tests)."""
+    from python_audio_mastering_tpu.ops.stereo import stereo_width
+    from python_audio_mastering_tpu.ops.waveshaper import saturate
+
+    c, nb, L = xrows.shape
+    xs = saturate(xrows, saturation_percent).reshape(c * nb, L)
+    y = _DOT(xs, t_eq.astype(xrows.dtype)) + \
+        _DOT(s_in_eq.reshape(c * nb, s_in_eq.shape[2]),
+             w_eq.T.astype(xrows.dtype))
+    return stereo_width(y.reshape(c, nb, L), width, channel_axis=0)
 
 
 def _bands_from_states_xla(xrows, s_in_lp, s_in_hp, sos_lp, sos_hp):

@@ -278,10 +278,12 @@ def _rows_shard_states(sos_list, xrows, axis, want_block_states=False):
     shard-incoming state.  Traced coefficients (the EQ) take the in-graph
     operator path with ``A^{n_loc}`` by binary exponentiation.
 
-    Returns ``(s_ins, zis)``: per-filter per-block TRUE incoming states
-    ``(C, nb, S)`` (``None``s unless ``want_block_states``) and per-shard
-    incoming scipy-layout states ``(K, 2, C)`` (for handing to the
-    ordinary rows filters / ``multiband`` as carried streaming state).
+    Returns ``(s_ins, zis, ops)``: per-filter per-block TRUE incoming
+    states ``(C, nb, S)`` (``None``s unless ``want_block_states``),
+    per-shard incoming scipy-layout states ``(K, 2, C)`` (for handing to
+    the ordinary rows filters / ``multiband`` as carried streaming state),
+    and the per-filter ``(t_mat, g, w, al)`` operator tuples for kernels
+    that reuse them.
     """
     c, nb, L = xrows.shape
     dt = xrows.dtype
@@ -343,7 +345,7 @@ def _rows_shard_states(sos_list, xrows, axis, want_block_states=False):
             s_ins.append(s_in)
         else:
             s_ins.append(None)
-    return s_ins, zis
+    return s_ins, zis, ops
 
 
 def _tp_sharded(x, axis, n_valid):
@@ -404,18 +406,28 @@ def _chain_shard_rows(xrows, params, n_valid, config: ChainConfig,
     idx = jax.lax.axis_index(axis)
     hop = config.comp_hop
 
-    x = saturate(xrows, params.saturation)
+    use_pallas = (mb_kernel != "xla" and pmb.available()
+                  and dt == jnp.float32 and (hop == 1 or L % hop == 0))
     eq = eq_sos(params, fs).astype(dt)
-    _, (zi_eq,) = _rows_shard_states((eq,), x, axis)
-    x, _ = iir.sosfilt_blocked_rows(eq, x, zi=zi_eq, return_state=False)
-    x = stereo_width(x, params.width, channel_axis=0)
+    if c <= 2:
+        # fused front (see models.chain._front), with the EQ states'
+        # cross-shard correction in place of the streaming zi
+        xs = saturate(xrows, params.saturation)
+        (s_eq,), _, (eq_ops,) = _rows_shard_states(
+            (eq,), xs, axis, want_block_states=True)
+        t_eq, _, w_eq, _ = eq_ops
+        front = pmb.front_chain if use_pallas else pmb.front_chain_xla
+        x = front(xrows, s_eq, t_eq, w_eq, params.saturation, params.width)
+    else:
+        x = saturate(xrows, params.saturation)
+        _, (zi_eq,), _ = _rows_shard_states((eq,), x, axis)
+        x, _ = iir.sosfilt_blocked_rows(eq, x, zi=zi_eq, return_state=False)
+        x = stereo_width(x, params.width, channel_axis=0)
 
     if params.multiband:
         lp_sos, hp_sos = mb._crossover_sos(fs, 250.0, 4000.0)
-        (s_lp, s_hp), _ = _rows_shard_states((lp_sos, hp_sos), x, axis,
-                                             want_block_states=True)
-        use_pallas = (mb_kernel != "xla" and pmb.available()
-                      and dt == jnp.float32 and (hop == 1 or L % hop == 0))
+        (s_lp, s_hp), _, _ = _rows_shard_states((lp_sos, hp_sos), x, axis,
+                                                want_block_states=True)
         if use_pallas:
             xb = pmb.band_energies(x, s_lp, s_hp, lp_sos, hp_sos, hop=hop)
         else:
@@ -463,7 +475,7 @@ def _chain_shard_rows(xrows, params, n_valid, config: ChainConfig,
         else:
             meter = x
         kw = np.asarray(kweight_sos(fs), np.float64)
-        _, (zi_k,) = _rows_shard_states((kw,), meter, axis)
+        _, (zi_k,), _ = _rows_shard_states((kw,), meter, axis)
         cells, _, _ = loud.block_cell_energies_rows(meter, fs, zi=zi_k)
         all_cells = jax.lax.all_gather(cells, axis).reshape(
             -1, cells.shape[-1])

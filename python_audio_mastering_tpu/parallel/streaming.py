@@ -198,13 +198,10 @@ def _fx_chunk(chunk, params, config: ChainConfig, state: StreamState,
         # carried states are identical to the channel-major body's
         # (scipy-layout zi, control-rate tails), so the two layouts'
         # checkpoints interchange.
-        from python_audio_mastering_tpu.models.chain import eq_sos
-        from python_audio_mastering_tpu.ops import iir
+        from python_audio_mastering_tpu.models.chain import _front
 
-        x = saturate(x, params.saturation)
-        sos = eq_sos(params, config.sample_rate).astype(x.dtype)
-        x, eq_zi = iir.sosfilt_blocked_rows(sos, x, zi=state.eq_zi)
-        x = stereo_width(x, params.width, channel_axis=0)
+        x, eq_zi = _front(x, params, config, state=state.eq_zi,
+                          return_state=True)
         mb_state = state.mb
         # fold the meter's mono downmix into the multiband epilogue so the
         # cell pass never re-reads the full chunk (see chain._master_cm)

@@ -136,3 +136,35 @@ def test_emit_mono_matches_channel_mean():
                                    np.asarray(y).mean(axis=0),
                                    rtol=1e-6, atol=1e-8)
         assert st.get("ctrl_tail") is not None
+
+
+def test_front_kernel_matches_ops_path():
+    """The fused front (saturate -> EQ-from-states -> width) must equal the
+    plain ops path on both backends, including carried-zi streaming."""
+    import dataclasses
+
+    from python_audio_mastering_tpu import ChainConfig, MasteringParams
+    from python_audio_mastering_tpu.models.chain import _front
+
+    L, nb = 512, 24
+    params = MasteringParams.from_settings(
+        {"saturation": 25, "preset": "dubstep", "width": 1.4})
+    base = ChainConfig(sample_rate=FS, filter_method="blocked")
+    for channels in (1, 2):
+        xrows = _rows(nb * L, channels=channels, L=L, seed=channels)
+        ref = np.asarray(_front(xrows, params,
+                                dataclasses.replace(base, mb_kernel="xla")))
+        got = np.asarray(_front(
+            xrows, params,
+            dataclasses.replace(base, mb_kernel="pallas_interpret")))
+        np.testing.assert_allclose(got, ref, rtol=2e-5, atol=1e-6)
+
+    # streaming: two chunks with carried zi == one-shot
+    xrows = _rows(nb * L, channels=2, L=L)
+    cfgk = dataclasses.replace(base, mb_kernel="pallas_interpret")
+    one = np.asarray(_front(xrows, params, cfgk))
+    half = nb // 2
+    y1, zf = _front(xrows[:, :half], params, cfgk, return_state=True)
+    y2 = _front(xrows[:, half:], params, cfgk, state=zf)
+    streamed = np.concatenate([np.asarray(y1), np.asarray(y2)], axis=1)
+    np.testing.assert_allclose(streamed, one, rtol=2e-5, atol=1e-6)
