@@ -350,17 +350,26 @@ def _decode_album_blobs(blobs: list, keys: list, cb):
     from python_audio_mastering_tpu.io import native
 
     workers = min(len(blobs), os.cpu_count() or 1)
-    if all(b[:4] == b"RIFF" for b in blobs) and native.available():
-        infos = [native.probe(b) for b in blobs]
-        if len({(i[0], i[1]) for i in infos}) == 1:
-            cb(f"Decoding {len(blobs)} tracks via the native batch decoder...")
-            batch, lengths, rate = native.decode_batch(blobs)
-            return [(batch[i, :int(lengths[i])], rate)
-                    for i in range(len(blobs))], "native_batch"
-        cb(f"Decoding {len(blobs)} mixed-format tracks via the native "
-           "decoder (threaded)...")
-        with ThreadPoolExecutor(max_workers=workers) as ex:
-            return list(ex.map(native.decode_wav, blobs)), "native"
+    # RIFF alone is not WAV (AVI/WEBP/RMID share the container): gate on the
+    # 'WAVE' form type too, and fall back to the ffmpeg path on ANY native
+    # probe/decode failure — the reference's contract is "any container
+    # ffmpeg can demux" and a parser rejection must not fail the album.
+    is_wav = all(b[:4] == b"RIFF" and b[8:12] == b"WAVE" for b in blobs)
+    if is_wav and native.available():
+        try:
+            infos = [native.probe(b) for b in blobs]
+            if len({(i[0], i[1]) for i in infos}) == 1:
+                cb(f"Decoding {len(blobs)} tracks via the native batch "
+                   "decoder...")
+                batch, lengths, rate = native.decode_batch(blobs)
+                return [(batch[i, :int(lengths[i])], rate)
+                        for i in range(len(blobs))], "native_batch"
+            cb(f"Decoding {len(blobs)} mixed-format tracks via the native "
+               "decoder (threaded)...")
+            with ThreadPoolExecutor(max_workers=workers) as ex:
+                return list(ex.map(native.decode_wav, blobs)), "native"
+        except Exception as e:  # noqa: BLE001 — fall back per contract
+            cb(f"Native decode failed ({e}); falling back to ffmpeg/numpy.")
     with ThreadPoolExecutor(max_workers=workers) as ex:
         return list(ex.map(
             lambda bk: wavio.decode_audio_bytes(bk[0], name_hint=bk[1]),

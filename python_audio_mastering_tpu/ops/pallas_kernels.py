@@ -34,6 +34,16 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["ballistics_pallas", "ballistics_pallas_rates",
            "ballistics_pallas_rates_bt", "available"]
 
+import os as _os
+
+# Boundary-state algorithm: "collapse" (block-parallel composite-map
+# collapse with an exact serial fallback — see _run_collapse) or "serial"
+# (the round-4 full-timeline boundary walk).  Env escape hatch only; the
+# collapse path is exact by construction (it falls back to the serial
+# kernel inside the jitted graph whenever a block's map does not provably
+# collapse).
+_BAL_MODE = _os.environ.get("PAM_BAL_MODE", "collapse")
+
 _SUBLANES = 8   # float32 sublane count; bands are padded up to this
 _LANES = 128
 
@@ -98,53 +108,79 @@ def _replay_kernel(mt_ref, ca_ref, cr_ref, att0_ref, out_ref):
     timeline's sequential depth drops from T to T/128).  Bitwise identical
     to the monolithic scan: same op sequence per position, exact incoming
     states.
+
+    The 128-step walk is a STATIC python unroll: the round-4 ``fori_loop``
+    formulation paid a dynamic-index VMEM load + store per step, measured
+    ~450 ns/step on v5e (~60× off the unrolled rate) — dynamic refs defeat
+    Mosaic's static scheduling exactly as in the pass-1 kernel.
     """
     ca = ca_ref[:, :]
     cr = cr_ref[:, :]
 
-    def body(j, att):
+    att = att0_ref[0]
+    for j in range(_LANES):  # static unroll: static leading-dim slices only
         m_j = mt_ref[j]
         attack = jnp.minimum(att + m_j * ca, m_j)
         release = jnp.maximum(att - m_j * cr, 0.0)
         att = jnp.where(att <= m_j, attack, release)
         out_ref[j] = att
-        return att
-
-    jax.lax.fori_loop(0, _LANES, body, att0_ref[0])
 
 
-@functools.partial(jax.jit, static_argnames=("tile", "interpret"))
-def _run(m, ca, cr, att0, tile, interpret):
-    bp, t = m.shape  # (SUBLANES, T_padded), T_padded % (128*128) == 0
-    blk = _LANES                    # control steps per block
-    nb = t // blk                   # blocks (pass-2 lanes)
-    nt = nb // _LANES               # pass-2 grid tiles (128 blocks each)
-    grid1 = (t // tile,)
+def _replay_bnd_kernel(mt_ref, ca_ref, cr_ref, att0_ref, bnd_ref):
+    """Boundary-only replay: the 128-step block walk of ``_replay_kernel``
+    emitting ONLY each block's outgoing attenuation ``(1, bp, 128)`` — the
+    fixed-point iteration's inner step (no 32 MB per-step output writes).
+    """
+    ca = ca_ref[:, :]
+    cr = cr_ref[:, :]
+    att = att0_ref[0]
+    for j in range(_LANES):  # static unroll
+        m_j = mt_ref[j]
+        attack = jnp.minimum(att + m_j * ca, m_j)
+        release = jnp.maximum(att - m_j * cr, 0.0)
+        att = jnp.where(att <= m_j, attack, release)
+    bnd_ref[0] = att
 
-    # ---- pass 1: boundary states, sequential grid with VMEM carry ----
-    bnd = pl.pallas_call(
+
+def _pass1_bnd(m, ca, cr, att0, tile, interpret):
+    """Serial boundary walk (round-4 pass 1): exact OUTGOING attenuation of
+    every 128-step block, as one sequential sweep of the whole timeline.
+    ``(bp, nb)``.  The collapse pipeline keeps it as the in-graph exact
+    fallback for timelines whose block maps do not all provably collapse."""
+    bp, t = m.shape
+    nb = t // _LANES
+    return pl.pallas_call(
         functools.partial(_bnd_kernel, tile=tile),
-        grid=grid1,
+        grid=(t // tile,),
         in_specs=[pl.BlockSpec((bp, tile), lambda i: (0, i)),
                   pl.BlockSpec((bp, 1), lambda i: (0, 0)),
                   pl.BlockSpec((bp, 1), lambda i: (0, 0)),
                   pl.BlockSpec((bp, 1), lambda i: (0, 0))],
-        out_specs=pl.BlockSpec((bp, tile // blk), lambda i: (0, i)),
+        out_specs=pl.BlockSpec((bp, tile // _LANES), lambda i: (0, i)),
         out_shape=jax.ShapeDtypeStruct((bp, nb), m.dtype),
         scratch_shapes=[pltpu.VMEM((bp, 1), m.dtype)],
         interpret=interpret,
     )(m, ca, cr, att0)
-    final = bnd[:, -1:]
 
-    # incoming state per block: att0 for block 0, else previous boundary
-    att0_blocks = jnp.concatenate([att0, bnd[:, :-1]], axis=1)  # (bp, nb)
 
-    # ---- layout: time-major per block so pass 2 reads full registers ----
-    # mt[ti*blk + j, s, l] = m[s, (ti*128 + l)*blk + j]
-    mt = m.reshape(bp, nt, _LANES, blk).transpose(1, 3, 0, 2) \
-          .reshape(nt * blk, bp, _LANES)
+def _block_layout(m):
+    """Time-major-per-block layout shared by the hull and replay kernels:
+    ``mt[ti*blk + j, s, l] = m[s, (ti*128 + l)*blk + j]``."""
+    bp, t = m.shape
+    blk = _LANES
+    nb = t // blk
+    nt = nb // _LANES
+    return m.reshape(bp, nt, _LANES, blk).transpose(1, 3, 0, 2) \
+            .reshape(nt * blk, bp, _LANES)
+
+
+def _replay(mt, ca, cr, att0_blocks, interpret):
+    """Pass 2: lane-parallel replay of all blocks from exact incoming
+    states ``att0_blocks (bp, nb)``.  Returns ``out (bp, t)``."""
+    ntblk, bp, _ = mt.shape
+    blk = _LANES
+    nt = ntblk // blk
     a0 = att0_blocks.reshape(bp, nt, _LANES).transpose(1, 0, 2)  # (nt,bp,128)
-
     out2 = pl.pallas_call(
         _replay_kernel,
         grid=(nt,),
@@ -153,17 +189,130 @@ def _run(m, ca, cr, att0, tile, interpret):
                   pl.BlockSpec((bp, 1), lambda i: (0, 0)),
                   pl.BlockSpec((1, bp, _LANES), lambda i: (i, 0, 0))],
         out_specs=pl.BlockSpec((blk, bp, _LANES), lambda i: (i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((nt * blk, bp, _LANES), m.dtype),
+        out_shape=jax.ShapeDtypeStruct((nt * blk, bp, _LANES), mt.dtype),
         interpret=interpret,
     )(mt, ca, cr, a0)
+    return out2.reshape(nt, blk, bp, _LANES).transpose(2, 0, 3, 1) \
+               .reshape(bp, nt * blk * _LANES)
 
-    out = out2.reshape(nt, blk, bp, _LANES).transpose(2, 0, 3, 1) \
-              .reshape(bp, t)
+
+@functools.partial(jax.jit, static_argnames=("tile", "interpret"))
+def _run(m, ca, cr, att0, tile, interpret):
+    bp, t = m.shape  # (SUBLANES, T_padded), T_padded % (128*128) == 0
+    # ---- pass 1: boundary states, sequential grid with VMEM carry ----
+    bnd = _pass1_bnd(m, ca, cr, att0, tile, interpret)
+    final = bnd[:, -1:]
+    # incoming state per block: att0 for block 0, else previous boundary
+    att0_blocks = jnp.concatenate([att0, bnd[:, :-1]], axis=1)  # (bp, nb)
+    out = _replay(_block_layout(m), ca, cr, att0_blocks, interpret)
     return out, final
 
 
+def _replay_bnd(mt, ca, cr, att0_blocks, interpret):
+    """One fixed-point step: replay every block from candidate incoming
+    states, returning only the outgoing boundary values ``(bp, nb)``."""
+    ntblk, bp, _ = mt.shape
+    nt = ntblk // _LANES
+    a0 = att0_blocks.reshape(bp, nt, _LANES).transpose(1, 0, 2)
+    bnd = pl.pallas_call(
+        _replay_bnd_kernel,
+        grid=(nt,),
+        in_specs=[pl.BlockSpec((_LANES, bp, _LANES), lambda i: (i, 0, 0)),
+                  pl.BlockSpec((bp, 1), lambda i: (0, 0)),
+                  pl.BlockSpec((bp, 1), lambda i: (0, 0)),
+                  pl.BlockSpec((1, bp, _LANES), lambda i: (i, 0, 0))],
+        out_specs=pl.BlockSpec((1, bp, _LANES), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((nt, bp, _LANES), mt.dtype),
+        interpret=interpret,
+    )(mt, ca, cr, a0)
+    return bnd.transpose(1, 0, 2).reshape(bp, nt * _LANES)
+
+
+_FIXPOINT_ITERS = 12  # certification cap before the in-graph serial fallback
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "interpret", "iters"))
+def _run_collapse(m, ca, cr, att0, tile, interpret,
+                  iters: int = _FIXPOINT_ITERS):
+    """Block-parallel exact ballistics via composite-map collapse.
+
+    Replaces the serial full-timeline boundary walk (``_pass1_bnd``, ~7 ms
+    at T≈1M on v5e — 86 % of the ballistics wall) with a lane-parallel
+    fixed-point iteration on the block-boundary states (VERDICT r4 #1).
+
+    Why it converges in a handful of rounds: the per-step map has slopes
+    ∈ {0, 1} with two absorbing clamps, so a 128-step block's composite
+    map COLLAPSES to a constant the moment any clamp saturates across the
+    whole admissible state interval — on program material nearly every
+    active block (the attack traverses the full range in ≲55 hop-8 steps
+    for the slowest band).  A constant block's outgoing value is exact
+    after ONE replay regardless of its incoming guess, so exactness only
+    has to propagate through runs of consecutive NON-collapsing,
+    non-frozen blocks — short transition regions in practice.  Fully
+    frozen blocks (m ≡ 0, pydub's below-threshold freeze) are exactly the
+    identity and are jumped over in O(1) by the boundary gather, so long
+    silences cost nothing.
+
+    Exactness does not rest on that argument: the iteration
+    ``s_{b+1} = g_b(s_b)`` is a triangular system, so ANY bitwise fixed
+    point is the unique exact solution (induction over blocks: block 0's
+    income is att0; a fixed point reproduces each block's outgoing from
+    its predecessor's).  The loop certifies the fixed point by bitwise
+    comparison; if it fails to certify within ``_FIXPOINT_ITERS`` rounds
+    (pathological material: long quasi-active stretches that never
+    saturate), ``lax.cond`` falls back to the exact serial walk inside
+    the graph.  Both paths produce bit-identical results to ``_run`` —
+    the replay pass and the per-step float ops are shared.
+    """
+    bp, t = m.shape
+    blk = _LANES
+    nb = t // blk
+    mt = _block_layout(m)
+
+    # frozen blocks (max m == 0) are exact identities: the boundary gather
+    # reads through them to the last non-frozen block in O(1)
+    frozen = jnp.max(m.reshape(bp, nb, blk), axis=2) == 0.0
+    seq = jnp.where(frozen, 0,
+                    jnp.arange(1, nb + 1, dtype=jnp.int32)[None, :])
+    idx_ex = jnp.concatenate(
+        [jnp.zeros((bp, 1), jnp.int32),
+         jax.lax.cummax(seq, axis=1)[:, :-1]], axis=1)  # (bp, nb)
+
+    def incomes(s_out):
+        # incoming[b] = outgoing of the last non-frozen block before b
+        gathered = jnp.take_along_axis(s_out, jnp.maximum(idx_ex - 1, 0),
+                                       axis=1)
+        return jnp.where(idx_ex == 0, att0, gathered)
+
+    def body(carry):
+        s_out, _, k = carry
+        s_new = _replay_bnd(mt, ca, cr, incomes(s_out), interpret)
+        changed = jnp.any(s_new != s_out)
+        return s_new, changed, k + 1
+
+    def cond(carry):
+        _, changed, k = carry
+        return jnp.logical_and(changed, k < iters)
+
+    s0 = jnp.zeros((bp, nb), m.dtype)
+    s_fix, changed, _ = jax.lax.while_loop(cond, body,
+                                           (s0, jnp.bool_(True), 0))
+
+    def fast(_):
+        return incomes(s_fix)
+
+    def slow(_):
+        bnd = _pass1_bnd(m, ca, cr, att0, tile, interpret)
+        return jnp.concatenate([att0, bnd[:, :-1]], axis=1)
+
+    att0_blocks = jax.lax.cond(changed, slow, fast, None)  # (bp, nb)
+    out = _replay(mt, ca, cr, att0_blocks, interpret)
+    return out, out[:, -1:]
+
+
 def ballistics_pallas_rates_bt(max_att_bt, attack_rate, release_rate,
-                               att0=None, interpret: bool = False):
+                               att0=None, interpret: bool = False,
+                               mode: str | None = None):
     """Band-major ``(B, T)`` twin of :func:`ballistics_pallas_rates`.
 
     The kernel's native layout is band-major already (bands on sublanes,
@@ -171,6 +320,10 @@ def ballistics_pallas_rates_bt(max_att_bt, attack_rate, release_rate,
     copy each way (measured 32 MB per leg on a 3-min hop-8 track).  Control
     pipelines that keep stats band-major (the fused Pallas multiband) call
     this directly.  Returns ``(att (B, T), att_final (B,))``.
+
+    ``mode``: ``"collapse"`` (default — block-parallel composite-map
+    collapse with in-graph exact fallback, see ``_run_collapse``) or
+    ``"serial"`` (the full-timeline boundary walk).  Both are exact.
     """
     m = max_att_bt
     b, t = m.shape
@@ -185,7 +338,8 @@ def ballistics_pallas_rates_bt(max_att_bt, attack_rate, release_rate,
     ca_p = jnp.pad(jnp.asarray(attack_rate, dt), (0, _SUBLANES - b))[:, None]
     cr_p = jnp.pad(jnp.asarray(release_rate, dt), (0, _SUBLANES - b))[:, None]
     att0_p = jnp.pad(jnp.asarray(att0, dt), (0, _SUBLANES - b))[:, None]
-    out, final = _run(m_p, ca_p, cr_p, att0_p, quantum, interpret)
+    run = _run_collapse if (mode or _BAL_MODE) == "collapse" else _run
+    out, final = run(m_p, ca_p, cr_p, att0_p, quantum, interpret)
     return out[:b, :t], final[:b, 0]
 
 

@@ -338,7 +338,8 @@ def master_album_streamed(tracks: Sequence[np.ndarray], params,
 
         _os.makedirs(checkpoint_dir, exist_ok=True)
         i0, state, processed, cells_list = strm._load_checkpoints(
-            checkpoint_dir, num_chunks, dtype, layout="cn" if cm else "nc")
+            checkpoint_dir, num_chunks, dtype, layout="cn" if cm else "nc",
+            to_device=device_resident)
         if rows:  # resumed chunks re-fold into the rows execution form
             processed = [y.reshape(y.shape[0], nch, -1, blk)
                          for y in processed]
@@ -365,8 +366,10 @@ def master_album_streamed(tracks: Sequence[np.ndarray], params,
         ckpt_pool = ThreadPoolExecutor(max_workers=1,
                                        thread_name_prefix="pam-ckpt")
     def _spill(y):
-        return np.asarray(strm.requantize_pcm16(y)) if pcm16 \
-            else np.asarray(y)
+        # always float32 (lossless): pass-A chunks are pre-gain/pre-limiter
+        # and can exceed ±1.0 — the pcm16 wire quantizer would clip them
+        # (ADVICE r4); the spill buffer is host RAM, not the link
+        return np.asarray(y)
 
     dev_start = len(processed)  # checkpoint-resumed entries are host numpy
     spilled = 0

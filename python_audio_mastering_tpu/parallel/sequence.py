@@ -621,11 +621,15 @@ def _track_sharded_fn(mesh, axis, config, sp_ballistics, want_meters,
     if want_meters:
         out_specs = out_specs + (P(), P())
     body = _chain_shard_rows if rows else _chain_shard
+    # mb_kernel forwards from the config (ADVICE r4): without it the rows
+    # body always ran its 'auto' default and ChainConfig.mb_kernel="xla"
+    # (the documented A/B + on-chip fallback knob) silently did nothing here
+    extra = {"mb_kernel": config.mb_kernel} if rows else {}
     return jax.jit(
         jax.shard_map(
             functools.partial(body, config=config, axis=axis,
                               sp_ballistics=sp_ballistics,
-                              want_meters=want_meters),
+                              want_meters=want_meters, **extra),
             mesh=mesh, in_specs=(in_spec, P(), P()),
             out_specs=out_specs, check_vma=False),
     )

@@ -476,12 +476,18 @@ def _save_checkpoint(checkpoint_dir, i, y, state, cells, layout="nc",
     os.replace(tmp, path)
 
 
-def _load_checkpoints(checkpoint_dir, num_chunks, dtype, layout="nc"):
+def _load_checkpoints(checkpoint_dir, num_chunks, dtype, layout="nc",
+                      to_device=True):
     """Replay the contiguous prefix of saved chunk segments.
 
     ``layout`` is the CALLER's execution layout; segments saved under the
     other layout (e.g. a pre-channel-major checkpoint resumed by a
-    channel-major run) are transposed on load."""
+    channel-major run) are transposed on load.
+
+    ``to_device=False`` (bounded-memory callers) keeps replayed chunks as
+    HOST numpy: a bounded job resumed late must not re-hold the whole
+    replayed prefix in HBM (ADVICE r4) — pass B uploads them one at a
+    time, exactly like spilled chunks."""
     import glob
 
     processed, cell_list = [], []
@@ -506,7 +512,8 @@ def _load_checkpoints(checkpoint_dir, num_chunks, dtype, layout="nc"):
         if start != i:  # gap → stop at the contiguous prefix
             break
         for y, cells in zip(ys, cells_seq):
-            processed.append(jnp.asarray(y, dtype=dtype))
+            processed.append(jnp.asarray(y, dtype=dtype) if to_device
+                             else np.asarray(y, dtype=dtype))
             cell_list.append(None if cells is None
                              else jnp.asarray(cells, dtype=dtype))
         state = jax.tree.map(jnp.asarray, payload["state"])
@@ -570,11 +577,11 @@ def master_streamed(audio, params: MasteringParams, config: ChainConfig,
     outputs fit ``config.device_budget_bytes`` everything stays
     device-resident (one transfer per file).  Otherwise the run is
     BOUNDED: the input streams from the host per chunk, pass-A outputs
-    beyond ``budget/2`` spill to the host in wire format (pcm16 when
-    ``transfer="pcm16"`` — the link's own quantization contract; float32
-    otherwise, lossless) and re-upload during pass B, and finalized
-    chunks read back immediately — device residency stays O(budget) for
-    any file length.
+    beyond ``budget/2`` spill to the host in float32 (always lossless —
+    pass-A outputs are pre-gain/pre-limiter and may exceed ±1.0, so the
+    pcm16 wire quantizer must never touch them) and re-upload during
+    pass B, and finalized chunks read back immediately — device residency
+    stays O(budget) for any file length.
 
     Returns ``(audio_out (N, C) np.float32, measured_lufs, gain_db)``, plus
     a meters dict when ``return_meters``.
@@ -594,7 +601,7 @@ def master_streamed(audio, params: MasteringParams, config: ChainConfig,
     chunk_frames = default_chunk_frames(config, chunk_seconds)
     num_chunks = max(1, -(-n // chunk_frames))
 
-    fx, fin, fin_la, tp_fn, req_fn = _compiled(config)
+    fx, fin, fin_la, tp_fn, _ = _compiled(config)
 
     # Channel-major hot path (same gate as models.chain.master): chunks
     # live on device as (C, chunk_frames) and the whole per-chunk body runs
@@ -664,7 +671,8 @@ def master_streamed(audio, params: MasteringParams, config: ChainConfig,
     if checkpoint_dir:
         os.makedirs(checkpoint_dir, exist_ok=True)
         start_chunk, state, processed, cell_list = _load_checkpoints(
-            checkpoint_dir, num_chunks, dtype, layout="cn" if cm else "nc")
+            checkpoint_dir, num_chunks, dtype, layout="cn" if cm else "nc",
+            to_device=device_resident)
         if rows:  # resumed chunks re-fold into the rows execution form
             processed = [y.reshape(c, -1, blk) for y in processed]
         if need_cells:
@@ -675,9 +683,12 @@ def master_streamed(audio, params: MasteringParams, config: ChainConfig,
             progress_cb(f"Resuming from chunk {start_chunk + 1}/{num_chunks}...")
 
     def _spill(y):
-        # device → host in wire format; pass B re-uploads and (pcm16)
-        # dequantizes — same quantization contract as the link itself
-        return np.asarray(req_fn(y)) if pcm16 else np.asarray(y)
+        # device → host ALWAYS in float32 (lossless): pass-A outputs are
+        # pre-LUFS-gain / pre-limiter and can exceed ±1.0 on hot material,
+        # so the pcm16 wire quantizer would hard-clip them (ADVICE r4) —
+        # an error the non-spilled run never incurs.  The spill buffer is
+        # host RAM, not the link; only pass B's re-upload pays float width.
+        return np.asarray(y)
 
     dev_start = len(processed)  # checkpoint-resumed entries are host numpy
     mem_stats = {"max_retained_bytes": 0, "spilled_chunks": 0,
