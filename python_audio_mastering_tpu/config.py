@@ -226,15 +226,18 @@ class ChainConfig:
     def tpu_default(cls, sample_rate=44100):
         """Throughput defaults for real TPU runs: blocked MXU IIR + hop-8
         detector decimation + the exact Pallas ballistics kernel
-        (~0.03 dB rms vs the bit-exact contract; measured 913x realtime,
-        full chain incl. multiband, 3-min track, TPU v5e)."""
+        (~0.03 dB rms vs the bit-exact hop-1 contract).  The measured
+        walls for this profile live in BENCH_DETAILS.json
+        (``configs.full_chain_3min``) — quoted numbers in docstrings go
+        stale; the artifact is the source of truth."""
         return cls(sample_rate=sample_rate, filter_method="blocked",
                    block_size=512, comp_hop=8, comp_block_ctrl=2048)
 
     @classmethod
     def tpu_fast(cls, sample_rate=44100):
-        """Maximum-throughput profile (~0.06 dB rms ballistics
-        approximation; measured 1417x realtime, full chain, 3-min track)."""
+        """Maximum-throughput profile (hop-16 detector decimation,
+        ~0.06 dB rms vs the bit-exact contract).  Measured walls:
+        BENCH_DETAILS.json ``configs.full_chain_3min_fast_profile``."""
         return cls(sample_rate=sample_rate, filter_method="blocked",
                    block_size=512, comp_hop=16, comp_block_ctrl=1024,
                    comp_overlap_ctrl=1102)

@@ -3,8 +3,14 @@
 Times each stage of the tpu_default full chain separately (one process —
 the tunneled chip is single-claim) and prints a JSON breakdown.  Used to
 target kernel optimization at the stages that actually dominate.
+
+``--out PATH`` additionally writes the breakdown to a JSON file — the
+checked-in ``PROFILE_rNN.json`` artifacts are produced this way, so every
+stage wall quoted in DESIGN.md/README.md traces to a tracked file
+(VERDICT r4 #2).
 """
 
+import argparse
 import json
 import time
 
@@ -96,7 +102,10 @@ def main():
     stacked = fn_det(bands, params)
     res["detectors_alone"] = time_fn(fn_det, bands, params)
 
-    # pallas ballistics alone
+    # pallas ballistics alone — both boundary algorithms: "collapse" (the
+    # default block-parallel composite-map fixed point) and "serial" (the
+    # round-4 full-timeline boundary walk), band-major so no transpose
+    # legs pollute the stage wall
     dt = stacked["max_att"].dtype
     ca = jnp.asarray([cfg.comp_hop / max(a * fs / 1000.0, 1.0)
                       for a, _ in multiband.BAND_BALLISTICS_MS], dt)
@@ -104,6 +113,13 @@ def main():
                       for _, r in multiband.BAND_BALLISTICS_MS], dt)
     fn_bal = jax.jit(lambda m: pk.ballistics_pallas_rates(m, ca, cr)[0])
     res["ballistics_alone"] = time_fn(fn_bal, stacked["max_att"])
+    m_bt = jnp.asarray(stacked["max_att"].T)
+    fn_bal_c = jax.jit(lambda m: pk.ballistics_pallas_rates_bt(
+        m, ca, cr, mode="collapse")[0])
+    fn_bal_s = jax.jit(lambda m: pk.ballistics_pallas_rates_bt(
+        m, ca, cr, mode="serial")[0])
+    res["ballistics_bt_collapse"] = time_fn(fn_bal_c, m_bt)
+    res["ballistics_bt_serial"] = time_fn(fn_bal_s, m_bt)
 
     # recombine einsum alone
     att = fn_bal(stacked["max_att"])
@@ -122,7 +138,29 @@ def main():
         filter_method=cfg.filter_method)[0])
     res["lufs_alone"] = time_fn(fn_lufs, x)
 
-    print(json.dumps(res, indent=2))
+    # rows-form loudness alone (the no-mb chain's meter path: K-filter
+    # states + bucket dots over (C, nb, L) rows — chain.py's actual body)
+    L = cfg.block_size
+    nbk = x.shape[0] // L
+    xr = jnp.asarray(np.ascontiguousarray(
+        np.asarray(x[: nbk * L]).T).reshape(2, nbk, L))
+    fn_lufs_rows = jax.jit(lambda a: loud.integrated_loudness_rows(
+        a, fs, downmix=cfg.measure_downmix))
+    res["lufs_rows_alone"] = time_fn(fn_lufs_rows, xr)
+
+    out = json.dumps(res, indent=2)
+    print(out)
+    args = _parse_args()
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(out + "\n")
+
+
+def _parse_args():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=None,
+                    help="also write the JSON breakdown to this path")
+    return ap.parse_args()
 
 
 if __name__ == "__main__":
