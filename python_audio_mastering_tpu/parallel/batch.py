@@ -185,6 +185,55 @@ def _compiled_album(config: ChainConfig):
     return fx, gains_fn, finalize, finalize_la, tp_batched
 
 
+def _build_wire_batch(tracks_n, tt, n_padded, cm, rows, blk, pcm16, dtype):
+    """Preallocated fused pad+transpose+quantize album wire buffer.
+
+    Builds the device wire layout DIRECTLY from the per-track arrays on a
+    thread pool — one threaded strided copy per channel — replacing three
+    full-album host passes (pad_tracks' stack, the pad concatenate, and
+    to_wire's single-threaded ``ascontiguousarray`` transpose) that were
+    the bulk of config 5's measured ~7 s single-core host residual
+    (VERDICT r4 #4).  Quantization matches ``streaming.quantize_pcm16``
+    exactly: float32 round(clip(x)·32767) — the int16 assignment casts
+    exact integers losslessly.
+    """
+    import os as _os
+    from concurrent.futures import ThreadPoolExecutor
+
+    from python_audio_mastering_tpu.parallel.streaming import PCM16_SCALE
+
+    c = tracks_n[0].shape[1]
+    wire_dt = np.int16 if pcm16 else dtype
+    if rows:
+        w = np.zeros((tt, c, n_padded // blk, blk), wire_dt)
+    elif cm:
+        w = np.zeros((tt, c, n_padded), wire_dt)
+    else:
+        w = np.zeros((tt, n_padded, c), wire_dt)
+
+    def fill(i):
+        t = tracks_n[i]
+        ln = t.shape[0]
+        if cm or rows:
+            v = w[i].reshape(c, -1)
+            for ch in range(c):
+                col = t[:, ch]  # native dtype — matches quantize_pcm16's
+                if pcm16:       # math on the bounded path exactly
+                    v[ch, :ln] = np.round(np.clip(col, -1.0, 1.0)
+                                          * PCM16_SCALE)
+                else:
+                    v[ch, :ln] = col
+        else:
+            if pcm16:
+                w[i, :ln] = np.round(np.clip(t, -1.0, 1.0) * PCM16_SCALE)
+            else:
+                w[i, :ln] = t
+    with ThreadPoolExecutor(
+            max_workers=min(len(tracks_n), _os.cpu_count() or 1)) as ex:
+        list(ex.map(fill, range(len(tracks_n))))
+    return w
+
+
 def master_album_streamed(tracks: Sequence[np.ndarray], params,
                           config: ChainConfig, mesh=None,
                           chunk_seconds: float = 30.0, progress_cb=None,
@@ -192,7 +241,8 @@ def master_album_streamed(tracks: Sequence[np.ndarray], params,
                           timings: dict | None = None,
                           checkpoint_dir: str | None = None,
                           checkpoint_every: int = 1,
-                          return_meters: bool = False):
+                          return_meters: bool = False,
+                          on_track_done=None):
     """Album mastering, batched over tracks AND chunked over time.
 
     The production path for long albums: device memory is bounded by
@@ -231,25 +281,25 @@ def master_album_streamed(tracks: Sequence[np.ndarray], params,
     config = _dc.replace(
         config, comp_ballistics="blocked" if config.comp_block_ctrl else "scan",
         mb_kernel="xla")
-    batch, lengths = pad_tracks(tracks)
+    tracks_n = [t[:, None] if t.ndim == 1 else t for t in tracks]
+    lengths = np.asarray([t.shape[0] for t in tracks_n], np.int64)
     if isinstance(params, MasteringParams):
         params = [params] * len(tracks)
     stacked = stack_params(list(params))
     mesh = mesh or make_mesh()
     n_dev = mesh.devices.size
-    t0 = batch.shape[0]
-    if t0 % n_dev:
-        extra = n_dev - t0 % n_dev
-        batch = np.concatenate(
-            [batch, np.zeros((extra,) + batch.shape[1:], batch.dtype)])
+    t0 = len(tracks_n)
+    tt = t0 if t0 % n_dev == 0 else t0 + (n_dev - t0 % n_dev)
+    if tt != t0:  # pad the tracks axis with silent tracks (zeros in wire)
         stacked = jax.tree.map(
             lambda leaf: jnp.concatenate(
-                [leaf, jnp.broadcast_to(leaf[-1:], (extra,) + leaf.shape[1:])]),
+                [leaf, jnp.broadcast_to(leaf[-1:],
+                                        (tt - t0,) + leaf.shape[1:])]),
             stacked)
     sharding = tracks_sharding(mesh)
 
     chunk_frames = strm.default_chunk_frames(config, chunk_seconds)
-    n = batch.shape[1]
+    n = max(t.shape[0] for t in tracks_n)
     num_chunks = max(1, -(-n // chunk_frames))
     dtype = config.jnp_dtype()
 
@@ -264,7 +314,7 @@ def master_album_streamed(tracks: Sequence[np.ndarray], params,
     rows = cm and chunk_frames % config.block_size == 0
     blk = config.block_size
     tax = 2 if cm else 1  # time axis of device-side batched chunks
-    nch = batch.shape[2]
+    nch = tracks_n[0].shape[1]
 
     state = strm.StreamState()  # replaced by per-track states after chunk 0
     processed = []
@@ -286,20 +336,19 @@ def master_album_streamed(tracks: Sequence[np.ndarray], params,
     # outputs would exceed config.device_budget_bytes.
     n_padded = num_chunks * chunk_frames
     wire_itemsize = 2 if pcm16 else dtype.itemsize
-    batch_bytes = batch.shape[0] * n_padded * batch.shape[2] * wire_itemsize
-    chunk_dev_bytes = (batch.shape[0] * chunk_frames * batch.shape[2]
-                       * dtype.itemsize)
+    batch_bytes = tt * n_padded * nch * wire_itemsize
+    chunk_dev_bytes = tt * chunk_frames * nch * dtype.itemsize
     device_resident = (batch_bytes + 2 * num_chunks * chunk_dev_bytes
                        <= config.device_budget_bytes)
     keep_dev = max(2, (config.device_budget_bytes // 2)
                    // max(chunk_dev_bytes, 1))
     t_start = _time.perf_counter()
     if device_resident:
-        pad = n_padded - batch.shape[1]
-        whole = np.concatenate(
-            [batch, np.zeros((batch.shape[0], pad, batch.shape[2]),
-                             batch.dtype)], axis=1) if pad else batch
-        x_dev = jax.device_put(to_wire(whole), sharding)
+        # preallocated fused pad+transpose+quantize wire build, threaded
+        # per track — no pad_tracks stack / pad concat / to_wire relayout
+        x_dev = jax.device_put(
+            _build_wire_batch(tracks_n, tt, n_padded, cm, rows, blk,
+                              pcm16, dtype), sharding)
 
         def chunk_at(i):
             if rows:  # slice whole blocks along the nb axis
@@ -309,6 +358,11 @@ def master_album_streamed(tracks: Sequence[np.ndarray], params,
             return jax.lax.slice_in_dim(x_dev, i * chunk_frames,
                                         (i + 1) * chunk_frames, axis=tax)
     else:
+        batch, _ = pad_tracks(tracks)  # host-streamed chunks slice this
+        if tt != t0:
+            batch = np.concatenate(
+                [batch, np.zeros((tt - t0,) + batch.shape[1:], batch.dtype)])
+
         def chunk_at(i):
             s = i * chunk_frames
             c_arr = batch[:, s: s + chunk_frames]
@@ -401,7 +455,7 @@ def master_album_streamed(tracks: Sequence[np.ndarray], params,
                     seg_ys, seg_cells = [], []
             if progress_cb:
                 progress_cb(f"Processed chunk {i + 1}/{num_chunks} "
-                            f"({batch.shape[0]} tracks)...")
+                            f"({tt} tracks)...")
         if ckpt_pool is not None:
             # drain the writer before the finalize phase: every submitted
             # segment must be durable (and any save error surfaced) before
@@ -427,15 +481,15 @@ def master_album_streamed(tracks: Sequence[np.ndarray], params,
     all_cells = jnp.concatenate(cells_list, axis=1) if need_cells else None
     dev_lengths = jnp.concatenate(
         [lengths_dev,
-         jnp.full((batch.shape[0] - t0,), n, lengths_dev.dtype)]) \
-        if batch.shape[0] != t0 else lengths_dev
+         jnp.full((tt - t0,), n, lengths_dev.dtype)]) \
+        if tt != t0 else lengths_dev
 
     if stacked.lufs_enabled:
         gains, measured = gains_fn(
             all_cells, dev_lengths, jnp.asarray(stacked.lufs, dtype))
     else:
-        gains = jnp.ones((batch.shape[0],), dtype)
-        measured = jnp.full((batch.shape[0],), jnp.nan, dtype)
+        gains = jnp.ones((tt,), dtype)
+        measured = jnp.full((tt,), jnp.nan, dtype)
 
     if config.limiter_mode == "lookahead_truepeak":
         # quality mode streams here too: trim the padded tail of the final
@@ -443,10 +497,10 @@ def master_album_streamed(tracks: Sequence[np.ndarray], params,
         # limiter state across chunks, one flush call at the end
         from python_audio_mastering_tpu.ops import limiter as lim
 
-        init = lim.lookahead_limiter_init(batch.shape[2], dtype)
+        init = lim.lookahead_limiter_init(nch, dtype)
         lstate = jax.tree.map(
             lambda leaf: jnp.broadcast_to(
-                leaf, (batch.shape[0],) + jnp.shape(leaf)), init)
+                leaf, (tt,) + jnp.shape(leaf)), init)
         rem = n - (num_chunks - 1) * chunk_frames
         finalized = []
         for i, y in enumerate(processed):
@@ -477,7 +531,7 @@ def master_album_streamed(tracks: Sequence[np.ndarray], params,
     if return_meters:
         # per-track streaming true peak over the finalized output, carried
         # boundary tails, per-track valid-length masking inside tp_batched
-        tp_tail = jnp.zeros((batch.shape[0], 32, batch.shape[2]), dtype)
+        tp_tail = jnp.zeros((tt, 32, nch), dtype)
         startf = 0
         for fi, f in enumerate(finalized):
             if fin_rows:
@@ -498,55 +552,91 @@ def master_album_streamed(tracks: Sequence[np.ndarray], params,
             # loop, so a pure-compute time does not exist in this mode —
             # label the phase honestly instead of calling it compute
             timings["h2d_plus_compute_s"] = _time.perf_counter() - t_start
-        t_start = _time.perf_counter()
     cat_ax = 2 if fin_rows else tax
-    if device_resident:
-        # one device-side concat, ONE host transfer for the whole album
-        out = np.asarray(jnp.concatenate(finalized, axis=cat_ax))
-    else:
-        out = np.concatenate([np.asarray(y) for y in finalized], axis=cat_ax)
-    if fin_rows:
-        out = out.reshape(out.shape[0], nch, -1)  # host-side unfold (free)
+    measured_np = np.asarray(measured)[: len(tracks)]
+
+    meters = None
+    if return_meters:
+        from python_audio_mastering_tpu.ops import meters as met
+
+        # Meter series from the already-accumulated cells (scaled by gain²
+        # — metering sits after normalization, before the brickwall, same
+        # point as streaming.master_streamed); batched across tracks, then
+        # trimmed to each track's complete cells.  Built BEFORE the audio
+        # readback: per-track completion hands (audio, meters) together.
+        cell_len = int(round(0.1 * config.sample_rate))
+        gains_np = np.asarray(gains)
+        scaled = all_cells * jnp.asarray(gains_np)[:, None, None] ** 2
+        mom_all = np.asarray(jax.vmap(
+            lambda cells: met._sliding_loudness(cells, 4))(scaled))
+        st_all = np.asarray(jax.vmap(
+            lambda cells: met._sliding_loudness(cells, 30))(scaled))
+        tp_np = np.asarray(tp_max)
+        meters = []
+        for i in range(len(tracks)):
+            nv = int(lengths[i]) // cell_len
+            mom = mom_all[i][: max(nv - 3, 0)]
+            st = st_all[i][: max(nv - 29, 0)]
+            gain_db = 20.0 * float(np.log10(max(float(gains_np[i]), 1e-12)))
+            meters.append({
+                "momentary_lufs": mom,
+                "short_term_lufs": st,
+                "lra_lu": float(met.lra_from_shortterm(jnp.asarray(st))),
+                "true_peak_dbtp": float(
+                    20.0 * np.log10(max(float(tp_np[i]), 1e-12))),
+                "integrated_lufs": float(measured_np[i]) + gain_db,
+            })
+
+    # Per-track readback + postprocess/export pipeline (VERDICT r4 #4):
+    # tracks read back one at a time, and each track's host finish (rows
+    # unfold, pcm16 dequantize, transpose+trim) plus the caller's
+    # ``on_track_done(i, audio, meters_i)`` — e.g. the engine's WAV encode
+    # + blob upload — run on a small pool, OVERLAPPING the next track's
+    # d2h transfer.  The album's host codec work hides under the link
+    # instead of serializing after one big-barrier readback.
+    import os as _os2
+    from concurrent.futures import ThreadPoolExecutor as _TPE
+
+    if timings is not None:
+        t_start = _time.perf_counter()
+    outs = [None] * len(tracks)
+
+    def _post_one(i, w):
+        y = w
+        if fin_rows:
+            y = y.reshape(nch, -1)
+        if pcm16:
+            y = strm.dequantize_pcm16_host(y)
+        ln = int(lengths[i])
+        y = np.ascontiguousarray(y[:, :ln].T) if cm else y[:ln]
+        outs[i] = y
+        if on_track_done is not None:
+            on_track_done(i, y, meters[i] if meters is not None else None)
+
+    wire_out = 0
+    with _TPE(max_workers=min(4, _os2.cpu_count() or 1)) as post_pool:
+        futs = []
+        if device_resident:
+            out_dev = jnp.concatenate(finalized, axis=cat_ax)
+            for i in range(len(tracks)):
+                w = np.asarray(out_dev[i])  # per-track d2h (sequential —
+                # the link is serial anyway); postprocess/export of track i
+                # runs while track i+1 transfers
+                wire_out += w.nbytes
+                futs.append(post_pool.submit(_post_one, i, w))
+        else:
+            out_host = np.concatenate([np.asarray(y) for y in finalized],
+                                      axis=cat_ax)
+            wire_out = out_host.nbytes
+            for i in range(len(tracks)):
+                futs.append(post_pool.submit(_post_one, i, out_host[i]))
+        for f in futs:
+            f.result()
     if timings is not None:
         timings["d2h_s"] = _time.perf_counter() - t_start
-        timings["wire_bytes_out"] = out.nbytes
-    if pcm16:
-        # dequantize while the buffer is still contiguous (threaded path)
-        out = strm.dequantize_pcm16_host(out)
-    out = (out.transpose(0, 2, 1) if cm else out)[:, :n]
-    outs = [out[i, : int(lengths[i])] for i in range(len(tracks))]
-    measured_np = np.asarray(measured)[: len(tracks)]
+        timings["wire_bytes_out"] = wire_out
     if not return_meters:
         return outs, measured_np
-
-    from python_audio_mastering_tpu.ops import meters as met
-
-    # Meter series from the already-accumulated cells (scaled by gain² —
-    # metering sits after normalization, before the brickwall, same point
-    # as streaming.master_streamed); batched across tracks, then trimmed
-    # to each track's complete cells.
-    cell_len = int(round(0.1 * config.sample_rate))
-    gains_np = np.asarray(gains)
-    scaled = all_cells * jnp.asarray(gains_np)[:, None, None] ** 2
-    mom_all = np.asarray(jax.vmap(
-        lambda cm: met._sliding_loudness(cm, 4))(scaled))
-    st_all = np.asarray(jax.vmap(
-        lambda cm: met._sliding_loudness(cm, 30))(scaled))
-    tp_np = np.asarray(tp_max)
-    meters = []
-    for i in range(len(tracks)):
-        nv = int(lengths[i]) // cell_len
-        mom = mom_all[i][: max(nv - 3, 0)]
-        st = st_all[i][: max(nv - 29, 0)]
-        gain_db = 20.0 * float(np.log10(max(float(gains_np[i]), 1e-12)))
-        meters.append({
-            "momentary_lufs": mom,
-            "short_term_lufs": st,
-            "lra_lu": float(met.lra_from_shortterm(jnp.asarray(st))),
-            "true_peak_dbtp": float(
-                20.0 * np.log10(max(float(tp_np[i]), 1e-12))),
-            "integrated_lufs": float(measured_np[i]) + gain_db,
-        })
     return outs, measured_np, meters
 
 

@@ -82,6 +82,35 @@ def test_album_streamed_matches_per_track_streamed():
         assert abs(float(measured[i]) - m_solo) < 1e-9
 
 
+def test_album_streamed_on_track_done():
+    """Per-track completion callback: called exactly once per track with
+    the same audio the return value carries (plus that track's meters),
+    so callers can export/upload each track as its readback lands instead
+    of waiting on an album-wide barrier."""
+    cfg = ChainConfig(sample_rate=FS, dtype="float32")
+    tracks = [make_signal(FS + i * 4410, fs=FS, seed=i) * 0.4
+              for i in range(3)]
+    params = MasteringParams.from_settings({"preset": "pop", "lufs": -14.0})
+    got = {}
+
+    def cb(i, audio, meters):
+        got[i] = (np.array(audio, copy=True), meters)
+
+    outs, _, meters = pbatch.master_album_streamed(
+        tracks, params, cfg, chunk_seconds=0.5, return_meters=True,
+        on_track_done=cb)
+    assert sorted(got) == [0, 1, 2]
+    for i in range(3):
+        np.testing.assert_array_equal(got[i][0], outs[i])
+        assert got[i][1] is meters[i]
+        assert np.isfinite(got[i][1]["integrated_lufs"])
+    # without return_meters the callback's meters argument is None
+    got.clear()
+    pbatch.master_album_streamed(tracks, params, cfg, chunk_seconds=0.5,
+                                 on_track_done=cb)
+    assert all(got[i][1] is None for i in range(3))
+
+
 def test_album_streamed_pcm16_and_timings():
     """pcm16 link format matches float32 within the PCM16 noise floor and
     the timings breakdown accounts for h2d/compute/d2h."""
