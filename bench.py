@@ -360,48 +360,84 @@ def main():
 
         # (3b) ballistics standalone — the chain's one serial op, measured
         # in isolation so the "serial wall" roadmap number is an artifact
-        # field, not prose (VERDICT r4 #2).  Detector stats come from the
-        # bench signal itself (3-band split at the default hop); both
-        # boundary algorithms are timed: "collapse" (block-parallel
-        # composite-map fixed point — the default) and "serial" (the
-        # round-4 full-timeline boundary walk).
+        # field, not prose (VERDICT r4 #2).  Stats are built by the CHAIN'S
+        # OWN fused detector path (front → crossover states → Pallas band
+        # energies → shared gain computer) so the measurement matches what
+        # production runs; both boundary algorithms are timed: "collapse"
+        # (block-parallel composite-map fixed point — the default; measured
+        # certifying in 3 iterations on these stats) and "serial" (the
+        # round-4 full-timeline boundary walk).  A second entry measures
+        # the same ballistics on SCAN-formulated stats of the same signal
+        # (ops.compressor.detector_stats) — material whose fixed point does
+        # NOT certify within the iteration budget, exercising the exact
+        # in-graph serial fallback: collapse there costs iterations + the
+        # serial walk, and bitwise_equal certifies the fallback's
+        # exactness.  Both behaviors belong in the artifact.
+        from python_audio_mastering_tpu.models.chain import _front
         from python_audio_mastering_tpu.ops import compressor as comp
+        from python_audio_mastering_tpu.ops import iir as iirops
         from python_audio_mastering_tpu.ops import multiband as mbnd
         from python_audio_mastering_tpu.ops import pallas_kernels as pk
+        from python_audio_mastering_tpu.ops import pallas_multiband as pmb
 
-        def _det_stats(a):
+        hop = cfg.comp_hop
+        L = cfg.block_size
+
+        @jax.jit
+        def _fused_maxatt(a):
+            n, c = a.shape
+            nb = -(-n // L)
+            xr = jnp.pad(a.T, ((0, 0), (0, nb * L - n))).reshape(c, nb, L)
+            xr = _front(xr, params, cfg)
+            lp, hp = mbnd._crossover_sos(fs, 250.0, 4000.0)
+            (slp, shp), _ = iirops.sosfilt_states_multi_rows(
+                (lp, hp), xr, return_state=False)
+            xb = pmb.band_energies(xr, slp, shp, lp, hp, hop=hop)
+            look_ctrl = mbnd.detector_lookpad(fs, hop) // hop
+            st, _ = mbnd._fused_stats_from_ctrl(
+                xb, xb.shape[1], fs, (-25.0, -20.0, -15.0), (6.0, 3.0, 4.0),
+                hop, None, look_ctrl, xr.dtype, band_major=True)
+            return st["max_att"]
+
+        @jax.jit
+        def _scan_maxatt(a):
             bands = mbnd.crossover_split(a, fs,
                                          filter_method=cfg.filter_method)[0]
             th, ra = (-25.0, -20.0, -15.0), (6.0, 3.0, 4.0)
             st = [comp.detector_stats(
                 bands[i], fs, th[i], ra[i],
                 mbnd.BAND_BALLISTICS_MS[i][0], mbnd.BAND_BALLISTICS_MS[i][1],
-                hop=cfg.comp_hop) for i in range(3)]
-            return jnp.stack([s["max_att"] for s in st])  # (3, T) band-major
+                hop=hop) for i in range(3)]
+            return jnp.stack([s["max_att"] for s in st])  # (3, T)
 
-        m_bt = jax.jit(_det_stats)(audio)
-        _sync(m_bt)
-        dtb = m_bt.dtype
-        ca_r = jnp.asarray([cfg.comp_hop / max(a * fs / 1000.0, 1.0)
-                            for a, _ in mbnd.BAND_BALLISTICS_MS], dtb)
-        cr_r = jnp.asarray([cfg.comp_hop / max(r * fs / 1000.0, 1.0)
-                            for _, r in mbnd.BAND_BALLISTICS_MS], dtb)
+        ca_r = jnp.asarray([hop / max(a * fs / 1000.0, 1.0)
+                            for a, _ in mbnd.BAND_BALLISTICS_MS], jnp.float32)
+        cr_r = jnp.asarray([hop / max(r * fs / 1000.0, 1.0)
+                            for _, r in mbnd.BAND_BALLISTICS_MS], jnp.float32)
         fn_bc = jax.jit(lambda m: pk.ballistics_pallas_rates_bt(
             m, ca_r, cr_r, mode="collapse")[0])
         fn_bs = jax.jit(lambda m: pk.ballistics_pallas_rates_bt(
             m, ca_r, cr_r, mode="serial")[0])
-        wall_bc, out_bc = _time_fn(fn_bc, m_bt)
-        wall_bc_pipe = _time_fn_pipelined(fn_bc, m_bt)
-        wall_bs, out_bs = _time_fn(fn_bs, m_bt)
-        details["configs"]["ballistics_standalone_3min"] = {
-            "hop": cfg.comp_hop, "T_ctrl": int(m_bt.shape[1]),
-            "wall_s_collapse": round(wall_bc, 5),
-            "wall_s_collapse_pipelined": round(wall_bc_pipe, 5),
-            "wall_s_serial": round(wall_bs, 5),
-            "speedup_collapse_vs_serial": round(wall_bs / wall_bc, 2),
-            "bitwise_equal": bool(
-                np.array_equal(np.asarray(out_bc), np.asarray(out_bs))),
-        }
+        for name, statfn in (("ballistics_standalone_3min", _fused_maxatt),
+                             ("ballistics_standalone_scanstats_3min",
+                              _scan_maxatt)):
+            m_bt = statfn(audio)
+            _sync(m_bt)
+            wall_bc, out_bc = _time_fn(fn_bc, m_bt)
+            wall_bc_pipe = _time_fn_pipelined(fn_bc, m_bt)
+            wall_bs, out_bs = _time_fn(fn_bs, m_bt)
+            wall_bs_pipe = _time_fn_pipelined(fn_bs, m_bt)
+            details["configs"][name] = {
+                "hop": hop, "T_ctrl": int(m_bt.shape[1]),
+                "wall_s_collapse": round(wall_bc, 5),
+                "wall_s_collapse_pipelined": round(wall_bc_pipe, 5),
+                "wall_s_serial": round(wall_bs, 5),
+                "wall_s_serial_pipelined": round(wall_bs_pipe, 5),
+                "speedup_collapse_vs_serial_pipelined": round(
+                    wall_bs_pipe / wall_bc_pipe, 2),
+                "bitwise_equal": bool(
+                    np.array_equal(np.asarray(out_bc), np.asarray(out_bs))),
+            }
 
         # (4) full chain incl. multiband, 5-min
         a5 = jnp.asarray(_mk_audio(300.0, seed=1))

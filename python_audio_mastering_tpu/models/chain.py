@@ -124,7 +124,7 @@ def _apply_eq_legacy(x, params, config):
 
 
 def _front(xr, params: MasteringParams, config: ChainConfig, state=None,
-           return_state: bool = False):
+           return_state: bool = False, emit_mono: bool = False):
     """Chain front over rows form: saturate → EQ → widener.
 
     On TPU (``config.mb_kernel`` gate, same as the multiband kernels) the
@@ -135,7 +135,14 @@ def _front(xr, params: MasteringParams, config: ChainConfig, state=None,
     once — replacing ~5 XLA full-signal passes.  Elsewhere the plain ops
     run (XLA fuses the elementwise stages anyway).  ``state``/
     ``return_state``: carried EQ ``zi`` for the streaming chunk body.
-    Returns ``y`` or ``(y, eq_zf)``.
+
+    ``emit_mono``: also return the output's channel-mean mono rows — the
+    loudness downmix for the NO-multiband chain, folded into this pass so
+    the meter never re-reads the full output (the multiband chain gets it
+    from the gain-apply epilogue instead).
+
+    Returns ``y``, extended to ``(y, ym)`` when ``emit_mono`` and with
+    ``eq_zf`` appended when ``return_state``.
     """
     from python_audio_mastering_tpu.ops import pallas_multiband as pmb
 
@@ -147,17 +154,28 @@ def _front(xr, params: MasteringParams, config: ChainConfig, state=None,
                        or (km == "auto" and pmb.available()
                            and xr.dtype == jnp.float32)))
     eq = eq_sos(params, config.sample_rate).astype(xr.dtype)
+    emit = emit_mono and c > 1
+    ym = None
     if use_kernel:
         xs = saturate(xr, params.saturation)  # fuses into the states G-dot
         s_in, eq_zf, (t_eq, _, w_eq, _) = iir.sosfilt_states_rows(
             eq, xs, zi=state, return_state=return_state)
         y = pmb.front_chain(xr, s_in, t_eq, w_eq, params.saturation,
-                            params.width, interpret=interpret)
+                            params.width, emit_mono=emit,
+                            interpret=interpret)
+        if emit:
+            y, ym = y
     else:
         xs = saturate(xr, params.saturation)
         y, eq_zf = iir.sosfilt_blocked_rows(eq, xs, zi=state,
                                             return_state=return_state)
         y = stereo_width(y, params.width, channel_axis=0)
+        if emit:
+            ym = y.mean(axis=0)
+    if emit_mono and not emit:
+        ym = y[0]  # mono input: the signal is its own downmix
+    if emit_mono:
+        return (y, ym, eq_zf) if return_state else (y, ym)
     return (y, eq_zf) if return_state else y
 
 
@@ -196,14 +214,15 @@ def _master_cm(x, params: MasteringParams, config: ChainConfig,
     vf = n if valid_frames is None else jnp.minimum(valid_frames, n)
     xr = jnp.pad(x.T, ((0, 0), (0, nb * L - n))).reshape(c, nb, L)
 
-    xr = _front(xr, params, config)
     # The loudness meter's mono downmix folds into the multiband's
-    # gain-apply epilogue (emit_mono) so the meter pass never re-reads the
-    # full (C, nb, L) output — one fewer full-signal pass (VERDICT r3 #6).
+    # gain-apply epilogue (emit_mono), or — no-multiband chain — into the
+    # front kernel's epilogue, so the meter pass never re-reads the full
+    # (C, nb, L) output (VERDICT r3 #6 / r4 #5).
     meter_rows = None
     want_mono = (params.lufs_enabled and c > 1
                  and config.measure_downmix == "reference_mono_mean")
     if params.multiband:
+        xr = _front(xr, params, config)
         xr = multiband.multiband_compress_rows(
             xr, config.sample_rate,
             thresholds_db=(params.low_thresh, params.mid_thresh,
@@ -215,12 +234,16 @@ def _master_cm(x, params: MasteringParams, config: ChainConfig,
             emit_mono=want_mono)
         if want_mono:
             xr, meter_rows = xr
+    elif want_mono:
+        xr, meter_rows = _front(xr, params, config, emit_mono=True)
+    else:
+        xr = _front(xr, params, config)
 
     if params.lufs_enabled:
         measured = integrated_loudness_rows(
             meter_rows[None] if meter_rows is not None else xr,
             config.sample_rate, downmix=config.measure_downmix,
-            valid_frames=vf)
+            valid_frames=vf, kernel=config.mb_kernel)
         gain = gain_for_target(measured, params.lufs, xr.dtype)
         xr = xr * gain
         gain_db = 20.0 * jnp.log10(gain)

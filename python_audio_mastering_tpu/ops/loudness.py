@@ -134,7 +134,7 @@ def block_cell_energies_cm(xT, sample_rate, zi=None, valid_frames=None):
 
 
 def block_cell_energies_rows(xrows, sample_rate, zi=None, valid_frames=None,
-                             return_state=False):
+                             return_state=False, kernel="auto"):
     """Rows-form :func:`block_cell_energies`: ``xrows`` is ``(C, nb, L)``.
 
     The K-filter runs in the rows-resident blocked form (zero layout-change
@@ -146,6 +146,13 @@ def block_cell_energies_rows(xrows, sample_rate, zi=None, valid_frames=None,
     ``(C, N) → (C, n_cells, cell)`` reshape of the channel-major path,
     whose 4410-minor tiling forced a full-signal relayout copy.
 
+    ``kernel``: "auto" fuses the K-filter recompute + square + bucket dot
+    into ONE Pallas pass on TPU (``ops.pallas_multiband.kweight_cells``:
+    the K-weighted signal lives only in VMEM — the XLA body writes it to
+    HBM and reads it back); "xla" forces the XLA body; "pallas" /
+    "pallas_interpret" force the kernel (interpret for CPU tests).  Same
+    gate as the multiband kernels (``ChainConfig.mb_kernel``).
+
     ``zi``/``return_state``: carried K-filter state for chunked streaming
     (chunk lengths are cell multiples there, so cells concatenate exactly).
 
@@ -156,23 +163,44 @@ def block_cell_energies_rows(xrows, sample_rate, zi=None, valid_frames=None,
     c, nb, L = xrows.shape
     n = nb * L
     cell, _ = _gating_geometry(sample_rate)
-    kx, zf = iir.sosfilt_blocked_rows(kweight_sos(sample_rate), xrows,
-                                      zi=zi, return_state=return_state)
     h = math.gcd(cell, L)
     n_cells = n // cell
-    if h > 1:
-        ones = jnp.asarray(np.kron(np.eye(L // h), np.ones((h, 1))),
-                           xrows.dtype)  # (L, L//h) bucket matrix
-        z2 = (kx * kx).reshape(c * nb, L)
-        buck = jax.lax.dot_general(
-            z2, ones, (((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST)  # (C·nb, L//h)
+
+    interpret = kernel == "pallas_interpret"
+    use_kernel = False
+    if h > 1 and kernel != "xla":
+        from python_audio_mastering_tpu.ops import pallas_multiband as pmb
+
+        use_kernel = (interpret or kernel == "pallas"
+                      or (kernel == "auto" and pmb.available()
+                          and xrows.dtype == jnp.float32))
+    if use_kernel:
+        # tiny states pass (control-rate boundary recurrence) + one fused
+        # kernel pass: read the signal once, emit only the bucket sums
+        s_in, zf, ops = iir.sosfilt_states_rows(
+            kweight_sos(sample_rate), xrows, zi=zi,
+            return_state=return_state)
+        buck = pmb.kweight_cells(xrows, s_in, ops[0], ops[2], h,
+                                 interpret=interpret)  # (C, n//h)
         per_cell = cell // h
-        cells = buck.reshape(c, n // h)[:, : n_cells * per_cell]
+        cells = buck[:, : n_cells * per_cell]
         cell_ms = cells.reshape(c, n_cells, per_cell).sum(axis=2).T / cell
-    else:  # pragma: no cover - no common divisor (exotic rate/block combo)
-        z = kx.reshape(c, n)[:, : n_cells * cell] ** 2
-        cell_ms = z.reshape(c, n_cells, cell).mean(axis=2).T
+    else:
+        kx, zf = iir.sosfilt_blocked_rows(kweight_sos(sample_rate), xrows,
+                                          zi=zi, return_state=return_state)
+        if h > 1:
+            ones = jnp.asarray(np.kron(np.eye(L // h), np.ones((h, 1))),
+                               xrows.dtype)  # (L, L//h) bucket matrix
+            z2 = (kx * kx).reshape(c * nb, L)
+            buck = jax.lax.dot_general(
+                z2, ones, (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST)  # (C·nb, L//h)
+            per_cell = cell // h
+            cells = buck.reshape(c, n // h)[:, : n_cells * per_cell]
+            cell_ms = cells.reshape(c, n_cells, per_cell).sum(axis=2).T / cell
+        else:  # pragma: no cover - no common divisor (exotic rate/block)
+            z = kx.reshape(c, n)[:, : n_cells * cell] ** 2
+            cell_ms = z.reshape(c, n_cells, cell).mean(axis=2).T
     cell_mask = None
     if valid_frames is not None:
         cell_mask = jnp.arange(n_cells) < (valid_frames // cell)
@@ -180,12 +208,12 @@ def block_cell_energies_rows(xrows, sample_rate, zi=None, valid_frames=None,
 
 
 def integrated_loudness_rows(xrows, sample_rate, downmix="bs1770",
-                             valid_frames=None):
+                             valid_frames=None, kernel="auto"):
     """Rows-form :func:`integrated_loudness` (``xrows`` is ``(C, nb, L)``)."""
     if downmix == "reference_mono_mean":
         xrows = xrows.mean(axis=0, keepdims=True)
     cell_ms, cell_mask, _ = block_cell_energies_rows(
-        xrows, sample_rate, valid_frames=valid_frames)
+        xrows, sample_rate, valid_frames=valid_frames, kernel=kernel)
     return loudness_from_cells(cell_ms, cell_mask=cell_mask)
 
 

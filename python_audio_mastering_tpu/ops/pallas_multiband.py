@@ -56,7 +56,7 @@ from jax.experimental import pallas as pl
 from python_audio_mastering_tpu.ops.pallas_kernels import available
 
 __all__ = ["band_energies", "band_gain_apply", "front_chain",
-           "front_chain_xla", "available"]
+           "front_chain_xla", "kweight_cells", "available"]
 
 _SUP = 128  # blocks per superblock (grid step); M·L = 64k samples/step
 
@@ -152,7 +152,8 @@ def _gain_apply_kernel(x_ref, t_ref, wt_ref, slp_ref, shp_ref, cols_ref,
         mono_ref[:, :] = (y[0] if c == 1 else jnp.sum(y, axis=0)) * (1.0 / c)
 
 
-def _front_kernel(coef_ref, x_ref, t_ref, wt_ref, se_ref, out_ref):
+def _front_kernel(coef_ref, x_ref, t_ref, wt_ref, se_ref, out_ref,
+                  *refs, emit_mono=False):
     """saturate → EQ (from per-block states) → stereo width, fused.
 
     The chain front paid ~5 XLA full-signal passes (saturate write/read,
@@ -160,7 +161,13 @@ def _front_kernel(coef_ref, x_ref, t_ref, wt_ref, se_ref, out_ref):
     once and writes the widened EQ output once, recomputing the EQ from
     the tiny boundary states exactly like the multiband kernels do.
     Reference formulas: saturation engine:128-134, widener engine:136-144.
+
+    ``emit_mono``: also write the channel mean of the output — the
+    loudness meter's downmix for the no-multiband chain, folded into this
+    pass so the meter never re-reads the full output (the multiband chain
+    gets the same service from the gain-apply epilogue's emit_mono).
     """
+    mono_ref = refs[0] if emit_mono else None
     mix = coef_ref[0, 0]
     drive = coef_ref[0, 1]
     width = coef_ref[0, 2]
@@ -174,14 +181,20 @@ def _front_kernel(coef_ref, x_ref, t_ref, wt_ref, se_ref, out_ref):
     if c == 2:
         mid = (y3[0] + y3[1]) * 0.5
         side = (y3[0] - y3[1]) * (0.5 * width)
-        out_ref[0] = mid + side
-        out_ref[1] = mid - side
+        a = mid + side
+        b = mid - side
+        out_ref[0] = a
+        out_ref[1] = b
+        if emit_mono:
+            mono_ref[:, :] = (a + b) * 0.5
     else:
         out_ref[:, :, :] = y3
+        if emit_mono:
+            mono_ref[:, :] = y3[0]
 
 
 def front_chain(xrows, s_in_eq, t_eq, w_eq, saturation_percent, width,
-                interpret: bool = False):
+                emit_mono: bool = False, interpret: bool = False):
     """Fused chain front over rows form: one signal read + one write.
 
     Args:
@@ -193,6 +206,8 @@ def front_chain(xrows, s_in_eq, t_eq, w_eq, saturation_percent, width,
       t_eq / w_eq: the EQ's ``T (L, L)`` and ``W (L, S)`` operators
         (traced in-graph arrays are fine — they enter as kernel operands).
       saturation_percent / width: traced scalars (the slider values).
+      emit_mono: also emit the output's channel mean as ``(nb, L)`` mono
+        rows (the loudness downmix).  Returns ``(y, ym)``.
     """
     c, nb, L = xrows.shape
     if c > 2:
@@ -205,8 +220,13 @@ def front_chain(xrows, s_in_eq, t_eq, w_eq, saturation_percent, width,
     coefs = jnp.stack([mix, 1.0 + mix * 4.0,
                        jnp.asarray(width, dt), jnp.zeros((), dt)])[None, :]
     wt = w_eq.T.astype(dt)
+    out_specs = pl.BlockSpec((c, m, L), lambda i: (0, i, 0))
+    out_shape = jax.ShapeDtypeStruct((c, nbs * m, L), dt)
+    if emit_mono:
+        out_specs = [out_specs, pl.BlockSpec((m, L), lambda i: (i, 0))]
+        out_shape = [out_shape, jax.ShapeDtypeStruct((nbs * m, L), dt)]
     out = pl.pallas_call(
-        _front_kernel,
+        functools.partial(_front_kernel, emit_mono=emit_mono),
         grid=(nbs,),
         in_specs=[
             pl.BlockSpec((1, 4), lambda i: (0, 0)),
@@ -215,14 +235,17 @@ def front_chain(xrows, s_in_eq, t_eq, w_eq, saturation_percent, width,
             pl.BlockSpec((s, L), lambda i: (0, 0)),
             pl.BlockSpec((c, m, s), lambda i: (0, i, 0)),
         ],
-        out_specs=pl.BlockSpec((c, m, L), lambda i: (0, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((c, nbs * m, L), dt),
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
     )(coefs, xrows, t_eq.astype(dt), wt, s_in_eq)
+    if emit_mono:
+        return out[0][:, :nb], out[1][:nb]
     return out[:, :nb]
 
 
-def front_chain_xla(xrows, s_in_eq, t_eq, w_eq, saturation_percent, width):
+def front_chain_xla(xrows, s_in_eq, t_eq, w_eq, saturation_percent, width,
+                    emit_mono: bool = False):
     """XLA mirror of :func:`front_chain` (same algebra, for CPU/tests)."""
     from python_audio_mastering_tpu.ops.stereo import stereo_width
     from python_audio_mastering_tpu.ops.waveshaper import saturate
@@ -232,7 +255,75 @@ def front_chain_xla(xrows, s_in_eq, t_eq, w_eq, saturation_percent, width):
     y = _DOT(xs, t_eq.astype(xrows.dtype)) + \
         _DOT(s_in_eq.reshape(c * nb, s_in_eq.shape[2]),
              w_eq.T.astype(xrows.dtype))
-    return stereo_width(y.reshape(c, nb, L), width, channel_axis=0)
+    y = stereo_width(y.reshape(c, nb, L), width, channel_axis=0)
+    if emit_mono:
+        return y, y.mean(axis=0)
+    return y
+
+
+def _cells_kernel(x_ref, t_ref, wt_ref, se_ref, bk_ref, out_ref):
+    """K-weighted bucketed energies for one superblock.
+
+    Recomputes the K-filtered signal block-locally from the tiny boundary
+    states (``kx = x @ T + s_in @ Wᵀ`` — the blocked-IIR algebra), squares
+    it in VMEM, and emits only the ``h``-bucket sums ``(C, M, L/h)``: the
+    full-length K-weighted signal never touches HBM (the XLA rows path
+    writes it out and reads it back — 2 extra full-signal passes).
+    """
+    c, m, L = x_ref.shape
+    xall = x_ref[:, :, :].reshape(c * m, L)
+    s_in = se_ref[:, :, :].reshape(c * m, se_ref.shape[2])
+    kx = _DOT(xall, t_ref[:, :], preferred_element_type=xall.dtype) + \
+        _DOT(s_in, wt_ref[:, :], preferred_element_type=xall.dtype)
+    e = kx * kx
+    out_ref[:, :, :] = _DOT(e, bk_ref[:, :],
+                            preferred_element_type=e.dtype).reshape(
+        c, m, bk_ref.shape[1])
+
+
+def kweight_cells(xrows, s_in, t_kw, w_kw, hop, interpret: bool = False):
+    """Hop-bucketed K-weighted energy sums ``(C, nb·L/hop)``.
+
+    Args:
+      xrows: ``(C, nb, L)`` rows-form signal (the loudness meter input —
+        mono ``(1, nb, L)`` on the reference-parity chain).
+      s_in: ``(C, nb, S)`` per-block incoming K-filter cascade states
+        (``iir.sosfilt_states_rows`` on the same signal).
+      t_kw / w_kw: the K-filter's ``T (L, L)`` / ``W (L, S)`` operators
+        (from the states pass — float64-precomputed, accuracy-critical
+        for the near-unit-circle K-weighting poles).
+      hop: bucket width (``gcd(cell_len, L)`` — loudness cells are then
+        exact sums of these buckets; see loudness.block_cell_energies_rows).
+
+    Equals the XLA rows path's bucket sums to float roundoff (identical
+    per-row contractions); exact equality in interpret mode.
+    """
+    from python_audio_mastering_tpu.ops.multiband import _bucket_matrix
+
+    c, nb, L = xrows.shape
+    if L % hop != 0:
+        raise ValueError(f"hop {hop} must divide block size {L}")
+    dt = xrows.dtype
+    s = s_in.shape[2]
+    m = min(_SUP, nb)
+    nbs = -(-nb // m)
+    lh = L // hop
+    bucket = jnp.asarray(_bucket_matrix(L, hop), dt)
+    out = pl.pallas_call(
+        _cells_kernel,
+        grid=(nbs,),
+        in_specs=[
+            pl.BlockSpec((c, m, L), lambda i: (0, i, 0)),
+            pl.BlockSpec((L, L), lambda i: (0, 0)),
+            pl.BlockSpec((s, L), lambda i: (0, 0)),
+            pl.BlockSpec((c, m, s), lambda i: (0, i, 0)),
+            pl.BlockSpec((L, lh), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((c, m, lh), lambda i: (0, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((c, nbs * m, lh), dt),
+        interpret=interpret,
+    )(xrows, t_kw.astype(dt), w_kw.T.astype(dt), s_in, bucket)
+    return out[:, :nb].reshape(c, nb * lh)
 
 
 def _bands_from_states_xla(xrows, s_in_lp, s_in_hp, sos_lp, sos_hp):

@@ -409,6 +409,12 @@ def _chain_shard_rows(xrows, params, n_valid, config: ChainConfig,
     use_pallas = (mb_kernel != "xla" and pmb.available()
                   and dt == jnp.float32 and (hop == 1 or L % hop == 0))
     eq = eq_sos(params, fs).astype(dt)
+    # no-multiband meter downmix folds into the front kernel's epilogue
+    # (the multiband chain gets it from the gain-apply epilogue instead)
+    want_mono_front = (not params.multiband
+                       and (params.lufs_enabled or want_meters) and c > 1
+                       and config.measure_downmix == "reference_mono_mean")
+    meter_rows = None
     if c <= 2:
         # fused front (see models.chain._front), with the EQ states'
         # cross-shard correction in place of the streaming zi
@@ -417,7 +423,10 @@ def _chain_shard_rows(xrows, params, n_valid, config: ChainConfig,
             (eq,), xs, axis, want_block_states=True)
         t_eq, _, w_eq, _ = eq_ops
         front = pmb.front_chain if use_pallas else pmb.front_chain_xla
-        x = front(xrows, s_eq, t_eq, w_eq, params.saturation, params.width)
+        x = front(xrows, s_eq, t_eq, w_eq, params.saturation, params.width,
+                  emit_mono=want_mono_front)
+        if want_mono_front:
+            x, meter_rows = x
     else:
         x = saturate(xrows, params.saturation)
         _, (zi_eq,), _ = _rows_shard_states((eq,), x, axis)
@@ -461,8 +470,6 @@ def _chain_shard_rows(xrows, params, n_valid, config: ChainConfig,
         res = apply_fn(x, s_lp, s_hp, cols, lp_sos, hp_sos, hop=hop,
                        emit_mono=want_mono)
         x, meter_rows = res if want_mono else (res, None)
-    else:
-        meter_rows = None
 
     # global gated loudness from shard-local rows cells (exact)
     all_cells = None
@@ -476,7 +483,8 @@ def _chain_shard_rows(xrows, params, n_valid, config: ChainConfig,
             meter = x
         kw = np.asarray(kweight_sos(fs), np.float64)
         _, (zi_k,), _ = _rows_shard_states((kw,), meter, axis)
-        cells, _, _ = loud.block_cell_energies_rows(meter, fs, zi=zi_k)
+        cells, _, _ = loud.block_cell_energies_rows(meter, fs, zi=zi_k,
+                                                    kernel=mb_kernel)
         all_cells = jax.lax.all_gather(cells, axis).reshape(
             -1, cells.shape[-1])
     if params.lufs_enabled:

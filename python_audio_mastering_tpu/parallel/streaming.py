@@ -200,14 +200,20 @@ def _fx_chunk(chunk, params, config: ChainConfig, state: StreamState,
         # checkpoints interchange.
         from python_audio_mastering_tpu.models.chain import _front
 
-        x, eq_zi = _front(x, params, config, state=state.eq_zi,
-                          return_state=True)
         mb_state = state.mb
-        # fold the meter's mono downmix into the multiband epilogue so the
-        # cell pass never re-reads the full chunk (see chain._master_cm)
+        # fold the meter's mono downmix into the multiband epilogue (or,
+        # no-multiband, into the front kernel's epilogue) so the cell pass
+        # never re-reads the full chunk (see chain._master_cm)
         meter_rows = None
         want_mono = (need_cells and x.shape[0] > 1
                      and config.measure_downmix == "reference_mono_mean")
+        if not params.multiband and want_mono:
+            x, meter_rows, eq_zi = _front(x, params, config,
+                                          state=state.eq_zi,
+                                          return_state=True, emit_mono=True)
+        else:
+            x, eq_zi = _front(x, params, config, state=state.eq_zi,
+                              return_state=True)
         if params.multiband:
             x = multiband.multiband_compress_rows(
                 x, config.sample_rate,
@@ -234,7 +240,8 @@ def _fx_chunk(chunk, params, config: ChainConfig, state: StreamState,
         else:
             meter_sig = x
         cells, _, kw_zi = loud.block_cell_energies_rows(
-            meter_sig, config.sample_rate, zi=state.kw_zi, return_state=True)
+            meter_sig, config.sample_rate, zi=state.kw_zi, return_state=True,
+            kernel=config.mb_kernel)
         return x, StreamState(eq_zi=eq_zi, mb=mb_state, kw_zi=kw_zi), cells
     if channel_major:
         from python_audio_mastering_tpu.models.chain import eq_sos
@@ -313,7 +320,8 @@ def _cells_chunk(chunk, zi, config: ChainConfig, channel_major: bool = False):
             if (config.measure_downmix == "reference_mono_mean"
                 and x.shape[0] > 1) else x
         cells, _, kw_zi = loud.block_cell_energies_rows(
-            meter_sig, config.sample_rate, zi=zi, return_state=True)
+            meter_sig, config.sample_rate, zi=zi, return_state=True,
+            kernel=config.mb_kernel)
     elif channel_major:
         meter_sig = x.mean(axis=0, keepdims=True) \
             if (config.measure_downmix == "reference_mono_mean"

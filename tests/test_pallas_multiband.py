@@ -168,3 +168,102 @@ def test_front_kernel_matches_ops_path():
     y2 = _front(xrows[:, half:], params, cfgk, state=zf)
     streamed = np.concatenate([np.asarray(y1), np.asarray(y2)], axis=1)
     np.testing.assert_allclose(streamed, one, rtol=2e-5, atol=1e-6)
+
+
+def test_front_emit_mono_matches_channel_mean():
+    """The front kernel's emit_mono epilogue (the no-multiband chain's
+    loudness downmix) must equal y.mean(axis=0) on both backends, thread
+    through return_state, and pass the signal through unchanged on mono."""
+    import dataclasses
+
+    from python_audio_mastering_tpu import ChainConfig, MasteringParams
+    from python_audio_mastering_tpu.models.chain import _front
+
+    L, nb = 512, 24
+    params = MasteringParams.from_settings(
+        {"saturation": 15, "preset": "pop", "width": 1.2})
+    base = ChainConfig(sample_rate=FS, filter_method="blocked")
+    xrows = _rows(nb * L, channels=2, L=L)
+    for k in ("xla", "pallas_interpret"):
+        cfg = dataclasses.replace(base, mb_kernel=k)
+        y, ym = _front(xrows, params, cfg, emit_mono=True)
+        y2 = _front(xrows, params, cfg)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y2),
+                                   rtol=0, atol=0)
+        np.testing.assert_allclose(np.asarray(ym),
+                                   np.asarray(y).mean(axis=0),
+                                   rtol=1e-6, atol=1e-8)
+        y3, ym3, zf = _front(xrows, params, cfg, emit_mono=True,
+                             return_state=True)
+        np.testing.assert_allclose(np.asarray(y3), np.asarray(y),
+                                   rtol=0, atol=0)
+        assert zf is not None
+    # mono input: the downmix IS the signal
+    xm = _rows(nb * L, channels=1, L=L, seed=3)
+    cfg = dataclasses.replace(base, mb_kernel="pallas_interpret")
+    y, ym = _front(xm, params, cfg, emit_mono=True)
+    np.testing.assert_allclose(np.asarray(ym), np.asarray(y)[0],
+                               rtol=0, atol=0)
+
+
+def test_kweight_cells_kernel_matches_xla():
+    """The fused loudness-cells kernel (K-filter recompute + square +
+    bucket dot in VMEM) must reproduce the XLA rows path's 100 ms cell
+    energies, including carried-zi streaming."""
+    from python_audio_mastering_tpu.ops import loudness as loud
+
+    L, nb = 512, 90  # > 1 s so several complete cells exist
+    for channels in (1, 2):
+        xrows = _rows(nb * L, channels=channels, L=L, seed=channels)
+        ref, _, _ = loud.block_cell_energies_rows(xrows, FS, kernel="xla")
+        got, _, _ = loud.block_cell_energies_rows(xrows, FS,
+                                                  kernel="pallas_interpret")
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-5, atol=1e-10)
+    # streaming: two chunks with carried K state == one-shot
+    xrows = _rows(nb * L, channels=1, L=L, seed=7)
+    one, _, _ = loud.block_cell_energies_rows(xrows, FS,
+                                              kernel="pallas_interpret")
+    half = nb // 2
+    c1, _, zf = loud.block_cell_energies_rows(
+        xrows[:, :half], FS, kernel="pallas_interpret", return_state=True)
+    c2, _, _ = loud.block_cell_energies_rows(
+        xrows[:, half:], FS, zi=zf, kernel="pallas_interpret")
+    streamed = np.concatenate([np.asarray(c1), np.asarray(c2)], axis=0)
+    # chunk boundary (half*L) is not a cell multiple here, so compare the
+    # cells wholly inside each chunk against the one-shot grid
+    cell = int(round(0.1 * FS))
+    n1 = (half * L) // cell
+    np.testing.assert_allclose(np.asarray(c1), np.asarray(one)[:n1],
+                               rtol=2e-5, atol=1e-10)
+    # integrated loudness through both paths agrees to well under 0.001 LU
+    li_x = float(loud.integrated_loudness_rows(xrows, FS, kernel="xla"))
+    li_p = float(loud.integrated_loudness_rows(xrows, FS,
+                                               kernel="pallas_interpret"))
+    assert abs(li_x - li_p) < 1e-3
+
+
+def test_full_chain_interpret_kernels_match_xla():
+    """master() with every Pallas kernel forced (interpret) must match the
+    XLA body — multiband on and off (the off case drives the front
+    kernel's emit_mono downmix + the fused loudness-cells kernel)."""
+    import dataclasses
+
+    import jax
+
+    from python_audio_mastering_tpu import ChainConfig, MasteringParams
+    from python_audio_mastering_tpu.models.chain import master
+
+    x = make_signal(int(FS * 1.2), channels=2, seed=5) * 0.5
+    base = ChainConfig(sample_rate=FS, filter_method="blocked",
+                       comp_hop=8, comp_block_ctrl=2048)
+    for mb in (False, True):
+        params = MasteringParams.from_settings(
+            {"saturation": 20, "preset": "techno", "width": 1.3,
+             "lufs": -14.0, "multiband": mb})
+        ref = np.asarray(master(jnp.asarray(x, jnp.float32), params,
+                                dataclasses.replace(base, mb_kernel="xla")))
+        got = np.asarray(master(
+            jnp.asarray(x, jnp.float32), params,
+            dataclasses.replace(base, mb_kernel="pallas_interpret")))
+        assert np.max(np.abs(got - ref)) < 2e-4, (mb, np.max(np.abs(got - ref)))
