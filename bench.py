@@ -22,7 +22,7 @@ import numpy as np
 # The test-suite state these configs were last validated against (full
 # `python -m pytest tests/ -q` on the 8-virtual-device CPU mesh) — kept in
 # the artifact so a bench number is never quoted against an unknown suite.
-_SUITE = "255 passed, 2 skipped (tests/, 8-device CPU mesh)"
+_SUITE = "260 passed, 2 skipped (tests/, 8-device CPU mesh)"
 
 
 def _mk_audio(seconds, fs=44100, seed=0):

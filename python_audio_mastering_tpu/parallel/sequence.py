@@ -648,15 +648,18 @@ def _album_sharded_fn(mesh, taxis, saxis, config, sp_ballistics,
                       rows=False):
     """Cached jitted 2-D (tracks x frames) shard_map chain (see above).
 
-    The rows body under ``vmap`` pins the XLA kernel mirrors
-    (``mb_kernel="xla"``): the Pallas kernels have no batching rule."""
+    The rows body under ``vmap`` runs the SAME Pallas kernels as the 1-D
+    path: ``pallas_call``'s batching rule folds the local-tracks axis
+    into a leading grid dimension (round 5 — previously this path pinned
+    the XLA mirrors, measured 2.35× the 1-D SP chain per audio-second;
+    ``mb_kernel="xla"`` remains the A/B + fallback knob here too)."""
 
     if rows:
         def block(xb, pb, nv):
             run = functools.partial(_chain_shard_rows, config=config,
                                     axis=saxis,
                                     sp_ballistics=sp_ballistics,
-                                    mb_kernel="xla")
+                                    mb_kernel=config.mb_kernel)
             return jax.vmap(run)(xb, pb, nv)
 
         return jax.jit(jax.shard_map(

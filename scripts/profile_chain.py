@@ -37,6 +37,25 @@ def time_fn(fn, *args, reps=3):
     return best
 
 
+def time_fn_pipelined(fn, *args, k=10):
+    """Per-call wall with the dispatch queue kept full (bench.py's
+    methodology) — single-call walls on the tunneled chip are ~46 ms of
+    RPC round trip, which swamps every stage at these shapes.  The
+    pipelined number is the one DESIGN.md's stage-breakdown claims use."""
+    import jax
+
+    out = fn(*args)
+    _sync(out)
+    outs = [fn(*args) for _ in range(3)]
+    jax.block_until_ready(outs)
+    _sync(outs[-1])
+    t0 = time.perf_counter()
+    outs = [fn(*args) for _ in range(k)]
+    jax.block_until_ready(outs)
+    _sync(outs[-1])
+    return (time.perf_counter() - t0) / k
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -67,11 +86,13 @@ def main():
     # full chain
     fn_full = jax.jit(lambda a, p: master(a, p, cfg))
     res["full_chain"] = time_fn(fn_full, x, params)
+    res["full_chain_pipelined"] = time_fn_pipelined(fn_full, x, params)
 
     # chain without multiband
     p_nomb = MasteringParams.from_settings(
         {"saturation": 20, "preset": "techno", "width": 1.3, "lufs": -14.0})
     res["chain_no_mb"] = time_fn(fn_full, x, p_nomb)
+    res["chain_no_mb_pipelined"] = time_fn_pipelined(fn_full, x, p_nomb)
 
     # multiband alone
     def mb(a, p):
@@ -81,13 +102,16 @@ def main():
             variant="worker", filter_method=cfg.filter_method,
             hop=cfg.comp_hop, block_ctrl=cfg.comp_block_ctrl,
             ballistics=cfg.comp_ballistics)
-    res["multiband_alone"] = time_fn(jax.jit(mb), x, params)
+    fn_mb = jax.jit(mb)
+    res["multiband_alone"] = time_fn(fn_mb, x, params)
+    res["multiband_alone_pipelined"] = time_fn_pipelined(fn_mb, x, params)
 
     # crossover alone
     fn_xo = jax.jit(lambda a: multiband.crossover_split(
         a, fs, filter_method=cfg.filter_method)[0])
     bands = fn_xo(x)
     res["crossover_alone"] = time_fn(fn_xo, x)
+    res["crossover_alone_pipelined"] = time_fn_pipelined(fn_xo, x)
 
     # detectors alone (3 bands)
     def dets(b, p):
@@ -101,6 +125,7 @@ def main():
     fn_det = jax.jit(dets)
     stacked = fn_det(bands, params)
     res["detectors_alone"] = time_fn(fn_det, bands, params)
+    res["detectors_alone_pipelined"] = time_fn_pipelined(fn_det, bands, params)
 
     # pallas ballistics alone — both boundary algorithms: "collapse" (the
     # default block-parallel composite-map fixed point) and "serial" (the
@@ -113,13 +138,16 @@ def main():
                       for _, r in multiband.BAND_BALLISTICS_MS], dt)
     fn_bal = jax.jit(lambda m: pk.ballistics_pallas_rates(m, ca, cr)[0])
     res["ballistics_alone"] = time_fn(fn_bal, stacked["max_att"])
+    res["ballistics_alone_pipelined"] = time_fn_pipelined(fn_bal, stacked["max_att"])
     m_bt = jnp.asarray(stacked["max_att"].T)
     fn_bal_c = jax.jit(lambda m: pk.ballistics_pallas_rates_bt(
         m, ca, cr, mode="collapse")[0])
     fn_bal_s = jax.jit(lambda m: pk.ballistics_pallas_rates_bt(
         m, ca, cr, mode="serial")[0])
     res["ballistics_bt_collapse"] = time_fn(fn_bal_c, m_bt)
+    res["ballistics_bt_collapse_pipelined"] = time_fn_pipelined(fn_bal_c, m_bt)
     res["ballistics_bt_serial"] = time_fn(fn_bal_s, m_bt)
+    res["ballistics_bt_serial_pipelined"] = time_fn_pipelined(fn_bal_s, m_bt)
 
     # recombine einsum alone
     att = fn_bal(stacked["max_att"])
@@ -127,16 +155,22 @@ def main():
         a_full = jnp.repeat(a, cfg.comp_hop, axis=0)[:n]
         g = 10.0 ** (-a_full / 20.0)
         return jnp.einsum("bnc,nb->nc", b, g)
-    res["recombine_alone"] = time_fn(jax.jit(recombine), bands, att)
+    fn_rec = jax.jit(recombine)
+    res["recombine_alone"] = time_fn(fn_rec, bands, att)
+    res["recombine_alone_pipelined"] = time_fn_pipelined(fn_rec, bands, att)
 
     # EQ alone; saturate alone; loudness alone
     fn_eq = jax.jit(lambda a, p: apply_eq(a, p, cfg)[0])
     res["eq_alone"] = time_fn(fn_eq, x, params)
-    res["saturate_alone"] = time_fn(jax.jit(lambda a: saturate(a, 20.0)), x)
+    res["eq_alone_pipelined"] = time_fn_pipelined(fn_eq, x, params)
+    fn_sat = jax.jit(lambda a: saturate(a, 20.0))
+    res["saturate_alone"] = time_fn(fn_sat, x)
+    res["saturate_alone_pipelined"] = time_fn_pipelined(fn_sat, x)
     fn_lufs = jax.jit(lambda a: loud.normalize_to_lufs(
         a, fs, -14.0, downmix=cfg.measure_downmix,
         filter_method=cfg.filter_method)[0])
     res["lufs_alone"] = time_fn(fn_lufs, x)
+    res["lufs_alone_pipelined"] = time_fn_pipelined(fn_lufs, x)
 
     # rows-form loudness alone (the no-mb chain's meter path: K-filter
     # states + bucket dots over (C, nb, L) rows — chain.py's actual body)
@@ -147,6 +181,7 @@ def main():
     fn_lufs_rows = jax.jit(lambda a: loud.integrated_loudness_rows(
         a, fs, downmix=cfg.measure_downmix))
     res["lufs_rows_alone"] = time_fn(fn_lufs_rows, xr)
+    res["lufs_rows_alone_pipelined"] = time_fn_pipelined(fn_lufs_rows, xr)
 
     out = json.dumps(res, indent=2)
     print(out)

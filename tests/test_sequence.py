@@ -155,3 +155,33 @@ def test_sharded_meters_match_streaming_meters():
     assert abs(met_q["lra_lu"] - met_s["lra_lu"]) < 1e-9
     assert abs(met_q["true_peak_dbtp"] - met_s["true_peak_dbtp"]) < 1e-9
     assert abs(met_q["integrated_lufs"] - met_s["integrated_lufs"]) < 1e-9
+
+
+def test_album_sharded_2d_rows_pallas_kernels():
+    """The 2-D rows body runs the REAL Pallas kernels under vmap (round 5:
+    pallas_call's batching rule folds the local-tracks axis into the
+    grid — previously this path silently pinned the XLA mirrors).  Each
+    track must match its own 1-D sharded master at float32 tolerance with
+    the kernels forced on via interpret mode."""
+    import dataclasses
+
+    from python_audio_mastering_tpu.parallel.mesh import make_mesh_2d
+    from python_audio_mastering_tpu.parallel.sequence import (
+        master_album_sharded, master_track_sharded)
+
+    cfg = dataclasses.replace(
+        ChainConfig.tpu_default(sample_rate=FS),
+        mb_kernel="pallas_interpret")
+    assert cfg.variant == "worker" and cfg.limiter_mode == "reference"
+    tracks = [make_signal(int(FS * 1.2), fs=FS, seed=s) * 0.5
+              for s in (0, 1)]
+    params = MasteringParams.from_settings(
+        {"preset": "pop", "saturation": 15, "width": 1.2, "lufs": -17.0,
+         "multiband": True})
+    outs, measured = master_album_sharded(tracks, params, cfg,
+                                          mesh=make_mesh_2d(tracks=2))
+    for i, t in enumerate(tracks):
+        ref, m_ref, _ = master_track_sharded(t, params, cfg)
+        np.testing.assert_allclose(outs[i], np.asarray(ref),
+                                   rtol=0, atol=5e-5)
+        assert abs(float(measured[i]) - float(m_ref)) < 1e-3
