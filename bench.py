@@ -634,8 +634,9 @@ def main():
             "wall_chain_pipelined_s": round(wall2d_chain_pipe, 4),
             "rtf_chain": round(240.0 / wall2d_chain, 1),
             "rtf_chain_pipelined": round(240.0 / wall2d_chain_pipe, 1),
-            # per-audio-second comparison vs the 1-D SP chain (which runs
-            # the Pallas kernels; this path runs their XLA mirrors)
+            # per-audio-second comparison vs the 1-D SP chain (both run
+            # the Pallas kernels since round 5 — pallas_call's batching
+            # rule folds the local-tracks vmap into the grid)
             "per_audio_sec_vs_sp_1d": round(
                 (wall2d_chain_pipe / 240.0)
                 / (sp_cfg["wall_chain_pipelined_s"] / 60.0), 2)
