@@ -12,9 +12,16 @@ stage wall quoted in DESIGN.md/README.md traces to a tracked file
 
 import argparse
 import json
+import os
+import sys
 import time
 
 import numpy as np
+
+# self-locating: the repo root must NOT be injected via PYTHONPATH (the
+# image's sitecustomize registers the TPU plugin at interpreter start,
+# and an early /root/repo on sys.path breaks that registration)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _sync(out):
@@ -37,23 +44,66 @@ def time_fn(fn, *args, reps=3):
     return best
 
 
-def time_fn_pipelined(fn, *args, k=10):
+def time_fn_pipelined(fn, *args, k1=10, k2=40):
     """Per-call wall with the dispatch queue kept full (bench.py's
     methodology) — single-call walls on the tunneled chip are ~46 ms of
-    RPC round trip, which swamps every stage at these shapes.  The
-    pipelined number is the one DESIGN.md's stage-breakdown claims use."""
+    RPC round trip, which swamps every stage at these shapes.
+
+    Slope form: per_call = (T(k2) − T(k1)) / (k2 − k1).  A plain T(k)/k
+    at k=10 spreads the one sync readback (~46-65 ms on this tunnel) as
+    ~5 ms/call of inflation — an identity jit measured 6.4 ms/call that
+    way, 35 µs by the slope (round-5 finding).  The pipelined numbers
+    are the ones DESIGN.md's stage-breakdown claims use."""
     import jax
 
     out = fn(*args)
     _sync(out)
-    outs = [fn(*args) for _ in range(3)]
-    jax.block_until_ready(outs)
-    _sync(outs[-1])
-    t0 = time.perf_counter()
-    outs = [fn(*args) for _ in range(k)]
-    jax.block_until_ready(outs)
-    _sync(outs[-1])
-    return (time.perf_counter() - t0) / k
+
+    def total(k):
+        t0 = time.perf_counter()
+        outs = [fn(*args) for _ in range(k)]
+        jax.block_until_ready(outs)
+        _sync(outs[-1])
+        return time.perf_counter() - t0
+
+    total(3)  # warm the pipeline
+    t1 = min(total(k1), total(k1))
+    t2 = min(total(k2), total(k2))
+    if t2 > t1:
+        return (t2 - t1) / (k2 - k1)
+    return t2 / k2
+
+
+def time_fn_device(step, x0, k=32):
+    """True on-device per-application wall: scan ``k`` DEPENDENT
+    applications inside ONE executable (output feeds the next input —
+    nothing for CSE to collapse), one dispatch, divide.  Upper bound:
+    carries ~0.4 ms/iteration of measured lax.scan bookkeeping."""
+    import jax
+    import jax.lax as lax
+
+    fn = jax.jit(lambda a: lax.scan(lambda c, _: (step(c), None),
+                                    a, None, length=k)[0])
+    return time_fn(fn, x0) / k
+
+
+def time_fn_device_const(op, x0, k=32):
+    """In-graph device wall for an op whose output cannot feed back as
+    its input: re-apply ``op`` to the SAME operand, threading a tiny
+    data-dependent perturbation (max(out)·1e-30) through the carry so no
+    iteration is CSE'd or dead-code-eliminated."""
+    import jax
+    import jax.lax as lax
+    import jax.numpy as jnp
+
+    def body(c, _):
+        s, x = c
+        y = op(x + s)
+        return (jnp.max(jax.tree.leaves(y)[0]) * 1e-30, x), None
+
+    fn = jax.jit(lambda a: lax.scan(
+        body, (jnp.zeros((), a.dtype), a), None, length=k)[0][0])
+    return time_fn(fn, x0) / k
 
 
 def main():
@@ -87,12 +137,16 @@ def main():
     fn_full = jax.jit(lambda a, p: master(a, p, cfg))
     res["full_chain"] = time_fn(fn_full, x, params)
     res["full_chain_pipelined"] = time_fn_pipelined(fn_full, x, params)
+    res["full_chain_device"] = time_fn_device(
+        lambda a: master(a, params, cfg), x)
 
     # chain without multiband
     p_nomb = MasteringParams.from_settings(
         {"saturation": 20, "preset": "techno", "width": 1.3, "lufs": -14.0})
     res["chain_no_mb"] = time_fn(fn_full, x, p_nomb)
     res["chain_no_mb_pipelined"] = time_fn_pipelined(fn_full, x, p_nomb)
+    res["chain_no_mb_device"] = time_fn_device(
+        lambda a: master(a, p_nomb, cfg), x)
 
     # multiband alone
     def mb(a, p):
@@ -146,8 +200,14 @@ def main():
         m, ca, cr, mode="serial")[0])
     res["ballistics_bt_collapse"] = time_fn(fn_bal_c, m_bt)
     res["ballistics_bt_collapse_pipelined"] = time_fn_pipelined(fn_bal_c, m_bt)
+    res["ballistics_bt_collapse_device"] = time_fn_device_const(
+        lambda m: pk.ballistics_pallas_rates_bt(m, ca, cr,
+                                                mode="collapse")[0], m_bt)
     res["ballistics_bt_serial"] = time_fn(fn_bal_s, m_bt)
     res["ballistics_bt_serial_pipelined"] = time_fn_pipelined(fn_bal_s, m_bt)
+    res["ballistics_bt_serial_device"] = time_fn_device_const(
+        lambda m: pk.ballistics_pallas_rates_bt(m, ca, cr,
+                                                mode="serial")[0], m_bt)
 
     # recombine einsum alone
     att = fn_bal(stacked["max_att"])
