@@ -229,9 +229,16 @@ class ChainConfig:
         (~0.03 dB rms vs the bit-exact hop-1 contract).  The measured
         walls for this profile live in BENCH_DETAILS.json
         (``configs.full_chain_3min``) — quoted numbers in docstrings go
-        stale; the artifact is the source of truth."""
+        stale; the artifact is the source of truth.
+
+        ``block_size=384``: the kernels' per-sample MXU dot cost is ∝ L
+        (each block contracts against (L, L) response operators), so a
+        smaller L cuts recompute FLOPs while the states pass stays cheap;
+        the round-5 A/B on the bench chip measured full-chain slope walls
+        8.69 / 8.06 / 7.96 ms at L = 512 / 256 / 384 (output deltas
+        within the usual detector threshold-flip budget, max ~1.4e-3)."""
         return cls(sample_rate=sample_rate, filter_method="blocked",
-                   block_size=512, comp_hop=8, comp_block_ctrl=2048)
+                   block_size=384, comp_hop=8, comp_block_ctrl=2048)
 
     @classmethod
     def tpu_fast(cls, sample_rate=44100):
@@ -239,5 +246,5 @@ class ChainConfig:
         ~0.06 dB rms vs the bit-exact contract).  Measured walls:
         BENCH_DETAILS.json ``configs.full_chain_3min_fast_profile``."""
         return cls(sample_rate=sample_rate, filter_method="blocked",
-                   block_size=512, comp_hop=16, comp_block_ctrl=1024,
+                   block_size=384, comp_hop=16, comp_block_ctrl=1024,
                    comp_overlap_ctrl=1102)
