@@ -133,3 +133,26 @@ def test_random_settings_property_sweep():
         y = np.asarray(master(x, p, cfg))
         assert np.isfinite(y).all(), f"non-finite output at trial {trial}: {s}"
         assert np.abs(y).max() <= 1.0 + 1e-6, f"unlimited output: {s}"
+
+
+def test_perf_doc_generator_renders_from_artifact():
+    """scripts/sync_perf_docs.py must render a table from the checked-in
+    BENCH_DETAILS.json without error (the --check mode is NOT asserted
+    here: the driver refreshes the artifact at round end without a doc
+    sync, and that must not redden the suite)."""
+    import importlib.util
+    import json
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parent.parent
+    spec = importlib.util.spec_from_file_location(
+        "sync_perf_docs", root / "scripts" / "sync_perf_docs.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    details = json.loads((root / "BENCH_DETAILS.json").read_text())
+    block = mod.render(details)
+    assert block.startswith(mod.BEGIN) and block.rstrip().endswith(mod.END)
+    # one table row per config named in the generated rows
+    assert block.count("\n| ") >= 12
+    readme = (root / "README.md").read_text()
+    assert mod.BEGIN in readme and mod.END in readme
